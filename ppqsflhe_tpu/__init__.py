@@ -28,8 +28,22 @@ The integer compute path requires 64-bit lanes; importing this package enables
 host for encode/decode.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles of the big fused crypto graphs
+# are expensive (minutes on small hosts); cache them across processes.
+_cache = _os.environ.get(
+    "PPQSFLHE_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
+if _cache and _cache != "0":
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 __version__ = "0.1.0"

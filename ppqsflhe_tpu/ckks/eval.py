@@ -1,0 +1,429 @@
+"""Homomorphic evaluation: add, mult, rescale, hybrid key switching,
+relinearization, Galois rotations (with hoisting).
+
+Replaces OpenFHE's LeveledSHE/AdvancedSHE for CKKS-RNS (reference call sites:
+EvalAdd/EvalMult — server/src/aggregateEncryptedWeights.cpp:82-83; ReEncrypt
+key switching — server/src/changeCipherDomain.cpp:74).
+
+Key-switch design (HYBRID, dnum digits, special primes P — SURVEY.md §2.3):
+the KSK for digit j encrypts P·t·Q̂_j where Q̂_j = Q_full/D_j is the *full*
+basis CRT cofactor. The level-l decomposition multiplies the ciphertext's
+group-j residues by [Q̂_j^{-1}]_{q_i} before base extension, which makes
+    Σ_j Q̂_j · [c·Q̂_j^{-1}]_{D_j∩active} ≡ c  (mod Q_l)
+hold with level-independent key material — one KSK serves every level.
+
+Galois rotations act in the evaluation domain as precomputed index gathers
+(bin k holds the value at root ψ^{2·bitrev(k)+1}; the automorphism X→X^g is
+a permutation of those bins), so a rotation costs one gather + one key
+switch — no NTTs. Hoisting shares the decompose+extend across rotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import primes, sampling
+from ..core.modarith import U64, modadd, modsub, modneg, modmul, shoup_mul
+from ..core.ntt import bit_reverse_indices
+from .params import CkksContext, _const_stack
+from .types import Ciphertext, KeySwitchKey, Plaintext, PublicKey, SecretKey
+
+
+# ---------------------------------------------------------------------------
+# Linear ops
+# ---------------------------------------------------------------------------
+
+def _match(ct1: Ciphertext, ct2: Ciphertext):
+    l = min(ct1.nlimbs, ct2.nlimbs)
+    if not np.isclose(ct1.scale, ct2.scale, rtol=1e-10):
+        raise ValueError(f"scale mismatch: {ct1.scale} vs {ct2.scale}")
+    return ct1.data[:, :l], ct2.data[:, :l], l
+
+
+def add(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    d1, d2, l = _match(ct1, ct2)
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    return Ciphertext(data=modadd(d1, d2, q), scale=ct1.scale)
+
+
+def sub(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    d1, d2, l = _match(ct1, ct2)
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    return Ciphertext(data=modsub(d1, d2, q), scale=ct1.scale)
+
+
+def negate(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
+    q, _, _ = ctx.limb_consts(ctx.q_idx(ct.nlimbs))
+    return ct.with_data(modneg(ct.data, q))
+
+
+def add_plain(ctx: CkksContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    l = min(ct.nlimbs, pt.nlimbs)
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    c0 = modadd(ct.data[0, :l], pt.data[:l], q)
+    return Ciphertext(data=ct.data[:, :l].at[0].set(c0), scale=ct.scale)
+
+
+def mult_plain(ctx: CkksContext, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """Pointwise eval-domain product; scales multiply (rescale separately)."""
+    l = min(ct.nlimbs, pt.nlimbs)
+    idx = ctx.q_idx(l)
+    q, qinv, r2 = ctx.limb_consts(idx)
+    return Ciphertext(
+        data=modmul(ct.data[:, :l], pt.data[None, :l], q, qinv, r2),
+        scale=ct.scale * pt.scale,
+    )
+
+
+def mult_scalar(ctx: CkksContext, ct: Ciphertext, c: float, rescale_after: bool = True) -> Ciphertext:
+    """EvalMult(ct, double) — the reference's aggregation op
+    (aggregateEncryptedWeights.cpp:83, c = 0.5, then ÷ by rescale).
+
+    The constant encodes exactly (no FFT) at scale q_last, so after the
+    mandatory rescale the ciphertext scale is *unchanged* — the
+    FLEXIBLEAUTO behavior. With rescale_after=False it encodes at Δ and the
+    scale picks up a Δ factor.
+    """
+    l = ct.nlimbs
+    idx = ctx.q_idx(l)
+    q, qinv, r2 = ctx.limb_consts(idx)
+    enc_scale = float(ctx.moduli_qp[l - 1]) if rescale_after else ctx.params.scale
+    m = int(round(c * enc_scale))
+    residues = _const_stack([m % ctx.moduli_qp[i] for i in idx])
+    out = ct.with_data(modmul(ct.data, residues[None], q, qinv, r2))
+    out = Ciphertext(out.data, scale=ct.scale * enc_scale)
+    return rescale(ctx, out) if rescale_after else out
+
+
+# ---------------------------------------------------------------------------
+# Rescale (drop the highest active limb, centered exact-division)
+# ---------------------------------------------------------------------------
+
+def _reduce_into(x, q, qinv, r2):
+    """Reduce arbitrary u64 residues into [0, q) per-limb (x may exceed q)."""
+    return modmul(x, jnp.ones_like(q), q, qinv, r2)
+
+
+def rescale(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
+    l = ct.nlimbs
+    if l < 2:
+        raise ValueError("cannot rescale a single-limb ciphertext")
+    ql = ctx.moduli_qp[l - 1]
+    rem_idx = ctx.q_idx(l - 1)
+    q, qinv, r2 = ctx.limb_consts(rem_idx)
+    qlinv, qlinv_sh, ql_mod, _ = ctx.rescale_consts(l)
+
+    last_coeff = ctx.intt(ct.data[:, l - 1 : l, :], (l - 1,))      # (k,1,n)
+    r = jnp.broadcast_to(last_coeff, ct.data.shape[:1] + (l - 1, ctx.params.n))
+    pos = _reduce_into(r, q, qinv, r2)
+    # centered lift: r - ql when r > ql/2
+    lifted = jnp.where(r > jnp.uint64(ql // 2), modsub(pos, ql_mod, q), pos)
+    lifted_eval = ctx.ntt(lifted, rem_idx)
+    diff = modsub(ct.data[:, : l - 1], lifted_eval, q)
+    out = shoup_mul(diff, qlinv, qlinv_sh, q)
+    return Ciphertext(data=out, scale=ct.scale / float(ql))
+
+
+def level_reduce(ctx: CkksContext, ct: Ciphertext, target_nlimbs: int) -> Ciphertext:
+    """Drop limbs without scaling (modulus reduction)."""
+    return Ciphertext(data=ct.data[:, :target_nlimbs], scale=ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid key switching
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ks_decomp_consts(ctx_id: int, nlimbs: int):
+    """Per active-group constants [Q̂_j^{-1}]_{q_i} (i in group j)."""
+    ctx = _CTX_REGISTRY[ctx_id]
+    L = ctx.params.num_q
+    QF = 1
+    for i in range(L):
+        QF *= ctx.moduli_qp[i]
+    groups = [tuple(i for i in g if i < nlimbs) for g in ctx.digit_groups]
+    groups = [g for g in groups if g]
+    out = []
+    for g_full, g in zip(ctx.digit_groups, groups):
+        Dj = 1
+        for i in g_full:
+            Dj *= ctx.moduli_qp[i]
+        Qhat = QF // Dj
+        inv = [primes.mod_inverse(Qhat % ctx.moduli_qp[i], ctx.moduli_qp[i]) for i in g]
+        qs = [ctx.moduli_qp[i] for i in g]
+        out.append((
+            _const_stack(inv),
+            np.array([primes.shoup_precompute(v, q) for v, q in zip(inv, qs)],
+                     np.uint64).reshape(-1, 1),
+        ))
+    return groups, out
+
+
+_CTX_REGISTRY: dict = {}
+
+
+def _register(ctx: CkksContext) -> int:
+    cid = id(ctx)
+    _CTX_REGISTRY[cid] = ctx
+    return cid
+
+
+def keyswitch_core(ctx: CkksContext, c_eval, nlimbs: int):
+    """Decompose+extend a single eval-domain poly c (u64[l, n]) into the list
+    of digit polys over the extended basis (active Q + P), eval domain.
+
+    This is the expensive, *hoistable* half of a key switch.
+    """
+    l = nlimbs
+    idx_q = ctx.q_idx(l)
+    idx_p = ctx.p_idx()
+    idx_ext = tuple(idx_q) + idx_p
+    groups, consts = _ks_decomp_consts(_register(ctx), l)
+    c_coeff = ctx.intt(c_eval, idx_q)
+    digits = []
+    for g, (ghat_inv, ghat_inv_sh) in zip(groups, consts):
+        sel = np.asarray(g, dtype=np.int32)
+        qg = ctx.q_vec[sel]
+        d = shoup_mul(c_coeff[sel], ghat_inv, ghat_inv_sh, qg)
+        other = tuple(i for i in idx_ext if i not in g)
+        ext = ctx.extender(g, other).extend(d)
+        # interleave own residues and extended residues in idx_ext order
+        rows = []
+        gi = oi = 0
+        for i in idx_ext:
+            if i in g:
+                rows.append(d[gi : gi + 1])
+                gi += 1
+            else:
+                rows.append(ext[oi : oi + 1])
+                oi += 1
+        full_coeff = jnp.concatenate(rows, axis=0)
+        digits.append(ctx.ntt(full_coeff, idx_ext))
+    return digits
+
+
+def keyswitch_apply(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
+    """Inner-product digits with the KSK and ModDown by P.
+    Returns (d0, d1) over the active Q limbs, eval domain."""
+    l = nlimbs
+    idx_q = ctx.q_idx(l)
+    idx_p = ctx.p_idx()
+    sel_ext = np.asarray(tuple(idx_q) + tuple(idx_p), dtype=np.int32)
+    q_ext, qinv_ext, r2_ext = ctx.limb_consts(sel_ext)
+    acc0 = None
+    for j, dig in enumerate(digits):
+        k0 = ksk.data[j, 0][sel_ext]
+        k1 = ksk.data[j, 1][sel_ext]
+        t0 = modmul(dig, k0, q_ext, qinv_ext, r2_ext)
+        t1 = modmul(dig, k1, q_ext, qinv_ext, r2_ext)
+        if acc0 is None:
+            acc0, acc1 = t0, t1
+        else:
+            acc0 = modadd(acc0, t0, q_ext)
+            acc1 = modadd(acc1, t1, q_ext)
+    return (_mod_down(ctx, acc0, l), _mod_down(ctx, acc1, l))
+
+
+def _mod_down(ctx: CkksContext, c_ext, nlimbs: int):
+    """(c mod Q_l*P) → round(c/P) mod Q_l (approximate, centered by the
+    extender's float correction)."""
+    l = nlimbs
+    k = ctx.params.num_p
+    idx_q = ctx.q_idx(l)
+    idx_p = ctx.p_idx()
+    q, qinv, r2 = ctx.limb_consts(idx_q)
+    pinv, pinv_sh = ctx.moddown_consts(l)
+    part_p = ctx.intt(c_ext[l : l + k], idx_p)
+    ext = ctx.extender(idx_p, tuple(idx_q)).extend(part_p)
+    ext_eval = ctx.ntt(ext, idx_q)
+    diff = modsub(c_ext[:l], ext_eval, q)
+    return shoup_mul(diff, pinv, pinv_sh, q)
+
+
+def keyswitch(ctx: CkksContext, c_eval, ksk: KeySwitchKey, nlimbs: int):
+    return keyswitch_apply(ctx, keyswitch_core(ctx, c_eval, nlimbs), ksk, nlimbs)
+
+
+# ---------------------------------------------------------------------------
+# Key-switch key generation (from secret key, or from a public key for PRE)
+# ---------------------------------------------------------------------------
+
+def _ks_target_factors(ctx: CkksContext):
+    """[P·Q̂_j]_{q_i} for all full-basis groups j and Q limbs i: u64[nd, L, 1]."""
+    L = ctx.params.num_q
+    QF = 1
+    for i in range(L):
+        QF *= ctx.moduli_qp[i]
+    P = 1
+    for p in ctx.params.p_moduli:
+        P *= p
+    out = np.zeros((len(ctx.digit_groups), L, 1), np.uint64)
+    for j, g in enumerate(ctx.digit_groups):
+        Dj = 1
+        for i in g:
+            Dj *= ctx.moduli_qp[i]
+        f = (P * (QF // Dj))
+        for i in range(L):
+            out[j, i, 0] = f % ctx.moduli_qp[i]
+    return out
+
+
+def keyswitch_key_gen(
+    ctx: CkksContext,
+    target_eval_q,            # u64[L, n] eval-domain poly to be "keyed" (s², σ_g(s), s_A…)
+    rng_key,
+    sk_to: SecretKey | None = None,
+    pk_to: PublicKey | None = None,
+) -> KeySwitchKey:
+    import jax
+
+    n = ctx.params.n
+    L = ctx.params.num_q
+    K = ctx.params.num_p
+    all_idx = tuple(range(L + K))
+    q_all, qinv_all, r2_all = ctx.limb_consts(all_idx)
+    factors = _ks_target_factors(ctx)
+    nd = len(ctx.digit_groups)
+    from .rlwe import _poly_mul, _signed_to_eval
+
+    rows = []
+    keys = jax.random.split(rng_key, nd)
+    for j in range(nd):
+        # message over QP: rows 0..L-1 carry [P·Q̂_j]_{q_i}·target_i ; P rows 0
+        m_q = modmul(target_eval_q, factors[j], ctx.q_vec[:L], ctx.qinv_vec[:L], ctx.r2_vec[:L])
+        m = jnp.concatenate([m_q, jnp.zeros((K, n), U64)], axis=0)
+        if pk_to is not None:
+            k_u, k_e0, k_e1 = jax.random.split(keys[j], 3)
+            u = _signed_to_eval(ctx, sampling.ternary(k_u, n), all_idx)
+            e0 = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e0, n, ctx.params.sigma), all_idx)
+            e1 = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e1, n, ctx.params.sigma), all_idx)
+            b = modadd(modadd(_poly_mul(ctx, pk_to.data[0], u, all_idx), e0, q_all), m, q_all)
+            a = modadd(_poly_mul(ctx, pk_to.data[1], u, all_idx), e1, q_all)
+        else:
+            k_a, k_e = jax.random.split(keys[j])
+            a = ctx.ntt(sampling.uniform_rns(k_a, ctx.moduli_qp, n), all_idx)
+            e = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e, n, ctx.params.sigma), all_idx)
+            b = modadd(
+                modadd(modneg(_poly_mul(ctx, a, sk_to.s_eval, all_idx), q_all), e, q_all),
+                m, q_all,
+            )
+        rows.append(jnp.stack([b, a]))
+    return KeySwitchKey(data=jnp.stack(rows))
+
+
+# ---------------------------------------------------------------------------
+# ct×ct multiply + relinearization
+# ---------------------------------------------------------------------------
+
+def mult(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext,
+         relin_key: KeySwitchKey | None = None, rescale_after: bool = True) -> Ciphertext:
+    d1, d2, l = _match_scales_any(ct1, ct2)
+    idx = ctx.q_idx(l)
+    q, qinv, r2 = ctx.limb_consts(idx)
+    c0 = modmul(d1[0], d2[0], q, qinv, r2)
+    c1 = modadd(modmul(d1[0], d2[1], q, qinv, r2), modmul(d1[1], d2[0], q, qinv, r2), q)
+    c2 = modmul(d1[1], d2[1], q, qinv, r2)
+    out = Ciphertext(data=jnp.stack([c0, c1, c2]), scale=ct1.scale * ct2.scale)
+    if relin_key is not None:
+        out = relinearize(ctx, out, relin_key)
+    if rescale_after:
+        out = rescale(ctx, out)
+    return out
+
+
+def _match_scales_any(ct1, ct2):
+    l = min(ct1.nlimbs, ct2.nlimbs)
+    return ct1.data[:, :l], ct2.data[:, :l], l
+
+
+def relinearize(ctx: CkksContext, ct: Ciphertext, relin_key: KeySwitchKey) -> Ciphertext:
+    if ct.num_components != 3:
+        return ct
+    l = ct.nlimbs
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    d0, d1 = keyswitch(ctx, ct.data[2], relin_key, l)
+    out = jnp.stack([modadd(ct.data[0], d0, q), modadd(ct.data[1], d1, q)])
+    return Ciphertext(data=out, scale=ct.scale)
+
+
+# ---------------------------------------------------------------------------
+# Galois rotations (eval-domain permutations) + hoisting
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _galois_perm(n: int, g: int) -> np.ndarray:
+    """perm with new_eval[k] = old_eval[perm[k]] for the automorphism X→X^g
+    acting on bit-reversed eval bins (bin k ↔ root exponent 2·bitrev(k)+1)."""
+    rev = bit_reverse_indices(n)
+    inv_rev = np.argsort(rev)  # bitrev is an involution, but argsort is safe
+    exps = 2 * rev + 1
+    m = 2 * n
+    target = (exps * g) % m
+    perm = inv_rev[((target - 1) // 2)]
+    return perm.astype(np.int32)
+
+
+def rot_to_galois(r: int, n: int) -> int:
+    """Slot rotation by r ↔ Galois element 5^r mod 2N (r may be negative)."""
+    m = 2 * n
+    return pow(5, r % (n // 2), m)
+
+
+CONJ_GALOIS = -1  # sentinel: conjugation is g = 2N-1
+
+
+def automorphism(ctx: CkksContext, data_eval, g: int):
+    n = ctx.params.n
+    if g == CONJ_GALOIS:
+        g = 2 * n - 1
+    perm = jnp.asarray(_galois_perm(n, g))
+    return jnp.take(data_eval, perm, axis=-1)
+
+
+def rotate(ctx: CkksContext, ct: Ciphertext, r: int, rot_key: KeySwitchKey) -> Ciphertext:
+    """Rotate packed slots left by r (EvalRotate equivalent)."""
+    g = rot_to_galois(r, ctx.params.n)
+    l = ct.nlimbs
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    c0p = automorphism(ctx, ct.data[0], g)
+    c1p = automorphism(ctx, ct.data[1], g)
+    d0, d1 = keyswitch(ctx, c1p, rot_key, l)
+    return Ciphertext(data=jnp.stack([modadd(c0p, d0, q), d1]), scale=ct.scale)
+
+
+def rotate_hoisted(ctx: CkksContext, ct: Ciphertext, rotations: Sequence[int],
+                   rot_keys: dict) -> list:
+    """Hoisted rotations: decompose+extend ct.data[1] ONCE, then for each
+    rotation apply the (cheap) automorphism to the extended digits and the
+    c0 part. North-star requirement (BASELINE.json config 3).
+
+    Valid because base extension is coefficient-wise and the automorphism is
+    a (signed) permutation of coefficients — they commute; in the eval domain
+    the automorphism is the same bin permutation on the digit polys.
+    """
+    l = ct.nlimbs
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    digits = keyswitch_core(ctx, ct.data[1], l)
+    out = []
+    for r in rotations:
+        g = rot_to_galois(r, ctx.params.n)
+        dig_rot = [automorphism(ctx, d, g) for d in digits]
+        d0, d1 = keyswitch_apply(ctx, dig_rot, rot_keys[r], l)
+        c0p = automorphism(ctx, ct.data[0], g)
+        out.append(Ciphertext(data=jnp.stack([modadd(c0p, d0, q), d1]), scale=ct.scale))
+    return out
+
+
+def conjugate(ctx: CkksContext, ct: Ciphertext, conj_key: KeySwitchKey) -> Ciphertext:
+    n = ctx.params.n
+    l = ct.nlimbs
+    q, _, _ = ctx.limb_consts(ctx.q_idx(l))
+    g = 2 * n - 1
+    c0p = automorphism(ctx, ct.data[0], g)
+    c1p = automorphism(ctx, ct.data[1], g)
+    d0, d1 = keyswitch(ctx, c1p, conj_key, l)
+    return Ciphertext(data=jnp.stack([modadd(c0p, d0, q), d1]), scale=ct.scale)

@@ -108,7 +108,10 @@ class CkksParams:
 
 
 def _const_stack(vals, fn=lambda x: x):
-    return jnp.asarray(np.array([fn(v) for v in vals], np.uint64).reshape(-1, 1), U64)
+    # NOTE: returns host numpy (not jnp) so lazily-built precomputes are safe
+    # to cache and reuse across jit traces (a device array created inside a
+    # trace is a tracer and must not escape).
+    return np.array([fn(v) for v in vals], np.uint64).reshape(-1, 1)
 
 
 class CkksContext:
@@ -152,7 +155,7 @@ class CkksContext:
         return tuple(range(L, L + self.params.num_p))
 
     def limb_consts(self, idx: Sequence[int]):
-        sel = list(idx)
+        sel = np.asarray(idx, dtype=np.int32)
         return self.q_vec[sel], self.qinv_vec[sel], self.r2_vec[sel]
 
     # -- NTT on limb subsets ------------------------------------------------
@@ -160,7 +163,7 @@ class CkksContext:
     def ntt(self, a, idx: Sequence[int]):
         from ..core.ntt import _ntt_impl
 
-        sel = list(idx)
+        sel = np.asarray(idx, dtype=np.int32)
         return _ntt_impl(
             a, self.basis.psi_rev[sel], self.basis.psi_rev_shoup[sel],
             self.basis.q_vec[sel], self.params.n,
@@ -169,7 +172,7 @@ class CkksContext:
     def intt(self, a, idx: Sequence[int]):
         from ..core.ntt import _intt_impl
 
-        sel = list(idx)
+        sel = np.asarray(idx, dtype=np.int32)
         return _intt_impl(
             a, self.basis.ipsi_rev[sel], self.basis.ipsi_rev_shoup[sel],
             self.basis.ninv[sel], self.basis.ninv_shoup[sel],
@@ -195,13 +198,11 @@ class CkksContext:
             inv = [primes.mod_inverse(ql % q, q) for q in rem]
             self._rescale_cache[nlimbs] = (
                 _const_stack(inv),
-                jnp.asarray(np.array(
-                    [primes.shoup_precompute(v, q) for v, q in zip(inv, rem)],
-                    np.uint64).reshape(-1, 1), U64),
+                np.array([primes.shoup_precompute(v, q) for v, q in zip(inv, rem)],
+                         np.uint64).reshape(-1, 1),
                 _const_stack([ql % q for q in rem]),
-                jnp.asarray(np.array(
-                    [primes.shoup_precompute(ql % q, q) for q in rem],
-                    np.uint64).reshape(-1, 1), U64),
+                np.array([primes.shoup_precompute(ql % q, q) for q in rem],
+                         np.uint64).reshape(-1, 1),
             )
         return self._rescale_cache[nlimbs]
 
@@ -216,9 +217,8 @@ class CkksContext:
             inv = [primes.mod_inverse(P % q, q) for q in qs]
             self._moddown_cache[nlimbs] = (
                 _const_stack(inv),
-                jnp.asarray(np.array(
-                    [primes.shoup_precompute(v, q) for v, q in zip(inv, qs)],
-                    np.uint64).reshape(-1, 1), U64),
+                np.array([primes.shoup_precompute(v, q) for v, q in zip(inv, qs)],
+                         np.uint64).reshape(-1, 1),
             )
         return self._moddown_cache[nlimbs]
 
@@ -254,4 +254,4 @@ class CkksContext:
             gj = Qt * primes.mod_inverse(Qt % Dj, Dj) % Q
             for i in active:
                 out[j, i, 0] = gj % self.moduli_qp[i]
-        return jnp.asarray(out, U64), groups
+        return out, groups

@@ -1,0 +1,124 @@
+"""RLWE key generation, encryption, decryption.
+
+Replaces OpenFHE's ``cc->KeyGen()`` / ``cc->Encrypt()`` / ``cc->Decrypt()``
+(reference call sites: client/src/keyGen.cpp:33,
+client/src/encryptModelWeights.cpp:83, client/src/decryptModelWeights.cpp:81).
+
+Keys live over the full QP basis (Q = ciphertext chain, P = key-switch
+special primes) so that proxy re-encryption key generation — which encrypts
+under the *delegatee's public key* in the QP basis (INDCPA PRE, SURVEY.md
+§2.2) — needs no secret-dependent lifting. Fresh ciphertexts use only the Q
+part. Everything is in the evaluation (NTT) domain at rest, matching the
+reference's serialized `f=0` format (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import sampling
+from ..core.modarith import modadd, modsub, modmul, modneg
+from .params import CkksContext
+from .types import Ciphertext, Plaintext, PublicKey, SecretKey
+
+
+def _poly_mul(ctx: CkksContext, a, b, idx):
+    q, qinv, r2 = ctx.limb_consts(idx)
+    return modmul(a, b, q, qinv, r2)
+
+
+def _signed_to_eval(ctx: CkksContext, v_int, idx):
+    """Small signed int32[N] → eval-domain residues over limbs `idx`."""
+    moduli = [ctx.moduli_qp[i] for i in idx]
+    coeff = sampling.signed_to_rns(v_int, moduli)
+    return ctx.ntt(coeff, idx)
+
+
+def keygen(ctx: CkksContext, rng_key) -> tuple[SecretKey, PublicKey]:
+    """Ternary secret, pk = (b, a) with b = -a*s + e over QP."""
+    n = ctx.params.n
+    all_idx = tuple(range(len(ctx.moduli_qp)))
+    k_s, k_a, k_e = jax.random.split(rng_key, 3)
+    s_int = sampling.ternary(k_s, n)
+    s_eval = _signed_to_eval(ctx, s_int, all_idx)
+    a = ctx.ntt(sampling.uniform_rns(k_a, ctx.moduli_qp, n), all_idx)
+    e = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e, n, ctx.params.sigma), all_idx)
+    q = ctx.q_vec
+    b = modadd(modneg(_poly_mul(ctx, a, s_eval, all_idx), q), e, q)
+    sk = SecretKey(s_eval=s_eval, s_int=s_int.astype(jnp.int8))
+    pk = PublicKey(data=jnp.stack([b, a]))
+    return sk, pk
+
+
+def encrypt(ctx: CkksContext, pk: PublicKey, pt: Plaintext, rng_key) -> Ciphertext:
+    """ct = (b*u + e0 + m, a*u + e1) over the plaintext's active Q limbs."""
+    n = ctx.params.n
+    l = pt.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    k_u, k_e0, k_e1 = jax.random.split(rng_key, 3)
+    u = _signed_to_eval(ctx, sampling.ternary(k_u, n), idx)
+    e0 = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e0, n, ctx.params.sigma), idx)
+    e1 = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e1, n, ctx.params.sigma), idx)
+    b = pk.data[0, :l]
+    a = pk.data[1, :l]
+    c0 = modadd(modadd(_poly_mul(ctx, b, u, idx), e0, q), pt.data, q)
+    c1 = modadd(_poly_mul(ctx, a, u, idx), e1, q)
+    return Ciphertext(data=jnp.stack([c0, c1]), scale=pt.scale)
+
+
+def decrypt_to_coeffs(ctx: CkksContext, s_eval, ct: Ciphertext):
+    """⟨ct, (1, s, s², …)⟩ then iNTT → coefficient-domain residues u64[l, N].
+
+    ``s_eval`` is the full-basis secret eval stack (sk.s_eval) or a
+    SecretKey (convenience)."""
+    if isinstance(s_eval, SecretKey):
+        s_eval = s_eval.s_eval
+    l = ct.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    s = s_eval[:l]
+    acc = ct.data[0]
+    s_pow = s
+    for k in range(1, ct.num_components):
+        acc = modadd(acc, _poly_mul(ctx, ct.data[k], s_pow, idx), q)
+        if k + 1 < ct.num_components:
+            s_pow = _poly_mul(ctx, s_pow, s, idx)
+    return ctx.intt(acc, idx)
+
+
+def decode_coeffs(ctx: CkksContext, coeffs, ct: Ciphertext, encoder,
+                  num: int | None = None, exact: bool = False):
+    """Coefficient residues → centered integers → slot values (host).
+
+    Fast path: rescaling always drops the *highest* limb, so limb 0 is the
+    60-bit first modulus q0 at every level; any valid message polynomial has
+    |coeff| ≈ Δ·|z| ≪ q0/2, so the centered limb-0 residue IS the integer
+    coefficient — an O(N) int64 centering instead of big-int CRT. ``exact``
+    forces the full CRT compose (for tests / adversarial inputs).
+    """
+    coeffs = np.asarray(jax.device_get(coeffs))
+    l = ct.nlimbs
+    moduli = [ctx.moduli_qp[i] for i in range(l)]
+    if exact and l > 1:
+        from ..core.rns import compose_centered
+
+        centered = compose_centered(coeffs, moduli).astype(np.float64)
+    else:
+        q0 = moduli[0]
+        r = coeffs[0]
+        centered = np.where(
+            r > np.uint64(q0 // 2),
+            (r - np.uint64(q0)).view(np.int64) if r.dtype == np.uint64 else r - q0,
+            r.view(np.int64) if r.dtype == np.uint64 else r,
+        ).astype(np.float64)
+    z = encoder.decode(centered, ct.scale, num)
+    return z.real
+
+
+def decrypt(ctx: CkksContext, sk: SecretKey, ct: Ciphertext, encoder, num: int | None = None):
+    """Full decrypt → decode to real slot values (host, f64/big-int)."""
+    coeffs = decrypt_to_coeffs(ctx, sk.s_eval, ct)
+    return decode_coeffs(ctx, coeffs, ct, encoder, num)

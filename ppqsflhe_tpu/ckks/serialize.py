@@ -1,0 +1,160 @@
+"""Serialization of contexts, keys and ciphertexts.
+
+Replaces OpenFHE/cereal ``Serial::{Serialize,Deserialize}`` (reference:
+genCC.cpp:89, keyGen.cpp:41-48, encryptModelWeights.cpp:85-86 — CC/keys as
+JSON, ciphertexts as BINARY wrapped in Base64). We keep the same *file
+contract shape* (SURVEY.md §2.4): context + keys are JSON documents;
+ciphertexts are little-endian binary blobs Base64-embedded in the encrypted
+weights JSON. The binary format is a fixed 40-byte header + raw u64 residue
+data — no polymorphic graph, so artifacts are ~6x smaller than cereal-JSON
+(pubkey ~1.6 MB vs the reference's 12.6 MB, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.modarith import U64
+from .params import CkksContext, CkksParams
+from .types import Ciphertext, KeySwitchKey, PublicKey, SecretKey
+
+MAGIC = b"PQTC"  # ppqsflhe-tpu ciphertext
+VERSION = 1
+
+
+# -- params / context -------------------------------------------------------
+
+def params_to_dict(p: CkksParams) -> Dict[str, Any]:
+    return {
+        "format": "ppqsflhe_tpu.ckks.v1",
+        "ring_dim": p.n,
+        "q_moduli": [str(q) for q in p.q_moduli],
+        "p_moduli": [str(q) for q in p.p_moduli],
+        "q_roots": [str(r) for r in p.q_roots] if p.q_roots else None,
+        "p_roots": [str(r) for r in p.p_roots] if p.p_roots else None,
+        "scale_bits": p.scale_bits,
+        "dnum": p.dnum,
+        "slots": p.slots,
+        "sigma": p.sigma,
+    }
+
+
+def params_from_dict(d: Dict[str, Any]) -> CkksParams:
+    return CkksParams(
+        n=d["ring_dim"],
+        q_moduli=tuple(int(x) for x in d["q_moduli"]),
+        p_moduli=tuple(int(x) for x in d["p_moduli"]),
+        q_roots=tuple(int(x) for x in d["q_roots"]) if d.get("q_roots") else None,
+        p_roots=tuple(int(x) for x in d["p_roots"]) if d.get("p_roots") else None,
+        scale_bits=d["scale_bits"],
+        dnum=d["dnum"],
+        slots=d["slots"],
+        sigma=d.get("sigma", 3.19),
+    )
+
+
+def save_params(p: CkksParams, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(params_to_dict(p), f, indent=1)
+
+
+def load_params(path: str) -> CkksParams:
+    with open(path) as f:
+        return params_from_dict(json.load(f))
+
+
+# -- array blobs ------------------------------------------------------------
+
+def _arr_to_b64(a) -> str:
+    return base64.b64encode(np.asarray(a, dtype="<u8").tobytes()).decode()
+
+
+def _b64_to_arr(s: str, shape) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), dtype="<u8").reshape(shape).copy()
+
+
+# -- keys -------------------------------------------------------------------
+
+def serialize_secret_key(sk: SecretKey) -> Dict[str, Any]:
+    """Secret keys ship only the ternary coefficients (tiny); eval forms are
+    re-derived from the context on load."""
+    return {
+        "type": "ckks_secret_key",
+        "s_int": base64.b64encode(np.asarray(sk.s_int, np.int8).tobytes()).decode(),
+    }
+
+
+def deserialize_secret_key(d: Dict[str, Any], ctx: CkksContext) -> SecretKey:
+    from ..core import sampling
+
+    s_int = np.frombuffer(base64.b64decode(d["s_int"]), dtype=np.int8).copy()
+    all_idx = tuple(range(len(ctx.moduli_qp)))
+    coeff = sampling.signed_to_rns(jnp.asarray(s_int, jnp.int32), ctx.moduli_qp)
+    s_eval = ctx.ntt(coeff, all_idx)
+    return SecretKey(s_eval=s_eval, s_int=s_int)
+
+
+def serialize_public_key(pk: PublicKey) -> Dict[str, Any]:
+    return {
+        "type": "ckks_public_key",
+        "shape": list(pk.data.shape),
+        "data": _arr_to_b64(pk.data),
+    }
+
+
+def deserialize_public_key(d: Dict[str, Any]) -> PublicKey:
+    return PublicKey(data=jnp.asarray(_b64_to_arr(d["data"], d["shape"]), U64))
+
+
+def serialize_ksk(k: KeySwitchKey) -> Dict[str, Any]:
+    return {
+        "type": "ckks_keyswitch_key",
+        "shape": list(k.data.shape),
+        "data": _arr_to_b64(k.data),
+    }
+
+
+def deserialize_ksk(d: Dict[str, Any]) -> KeySwitchKey:
+    return KeySwitchKey(data=jnp.asarray(_b64_to_arr(d["data"], d["shape"]), U64))
+
+
+def save_json(obj: Dict[str, Any], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def load_json(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)
+
+
+# -- ciphertexts (binary, Base64-wrapped by callers) ------------------------
+
+def ciphertext_to_bytes(ct: Ciphertext) -> bytes:
+    k, l, n = ct.data.shape
+    header = MAGIC + struct.pack("<IIIId", VERSION, k, l, n, float(ct.scale))
+    return header + np.asarray(ct.data, dtype="<u8").tobytes()
+
+
+def ciphertext_from_bytes(b: bytes) -> Ciphertext:
+    if b[:4] != MAGIC:
+        raise ValueError("bad ciphertext magic")
+    ver, k, l, n, scale = struct.unpack("<IIIId", b[4:28])
+    if ver != VERSION:
+        raise ValueError(f"unsupported ciphertext version {ver}")
+    data = np.frombuffer(b[28:], dtype="<u8").reshape(k, l, n).copy()
+    return Ciphertext(data=jnp.asarray(data, U64), scale=scale)
+
+
+def ciphertext_to_b64(ct: Ciphertext) -> str:
+    return base64.b64encode(ciphertext_to_bytes(ct)).decode()
+
+
+def ciphertext_from_b64(s: str) -> Ciphertext:
+    return ciphertext_from_bytes(base64.b64decode(s))

@@ -103,23 +103,26 @@ class BaseExtender:
             for i, q in enumerate(self.src):
                 dhat_mod_dst[j, i] = (D // q) % p
 
-        self.dhat_inv = jnp.asarray(dhat_inv, U64)
-        self.dhat_inv_shoup = jnp.asarray(
-            np.array([[primes.shoup_precompute(int(dhat_inv[i, 0]), self.src[i])]
-                      for i in range(ls)], np.uint64), U64)
-        self.dhat_mod_dst = jnp.asarray(dhat_mod_dst, U64)
-        self.d_mod_dst = jnp.asarray(d_mod_dst, U64)
-        self.src_q = jnp.asarray(np.array(self.src, np.uint64).reshape(ls, 1), U64)
-        self.src_qinv = jnp.asarray(
-            np.array([primes.mont_qinv_neg(q) for q in self.src], np.uint64).reshape(ls, 1), U64)
-        self.src_r2 = jnp.asarray(
-            np.array([primes.mont_r2(q) for q in self.src], np.uint64).reshape(ls, 1), U64)
-        self.dst_q = jnp.asarray(np.array(self.dst, np.uint64).reshape(ld, 1), U64)
-        self.dst_qinv = jnp.asarray(
-            np.array([primes.mont_qinv_neg(q) for q in self.dst], np.uint64).reshape(ld, 1), U64)
-        self.dst_r2 = jnp.asarray(
-            np.array([primes.mont_r2(q) for q in self.dst], np.uint64).reshape(ld, 1), U64)
-        self.src_q_f = jnp.asarray(np.array(self.src, np.float64).reshape(ls, 1))
+        # host numpy constants: BaseExtenders are built lazily (possibly
+        # inside a jit trace) and cached on the context — device arrays here
+        # would leak tracers across traces.
+        self.dhat_inv = dhat_inv
+        self.dhat_inv_shoup = np.array(
+            [[primes.shoup_precompute(int(dhat_inv[i, 0]), self.src[i])]
+             for i in range(ls)], np.uint64)
+        self.dhat_mod_dst = dhat_mod_dst
+        self.d_mod_dst = d_mod_dst
+        self.src_q = np.array(self.src, np.uint64).reshape(ls, 1)
+        self.src_qinv = np.array([primes.mont_qinv_neg(q) for q in self.src],
+                                 np.uint64).reshape(ls, 1)
+        self.src_r2 = np.array([primes.mont_r2(q) for q in self.src],
+                               np.uint64).reshape(ls, 1)
+        self.dst_q = np.array(self.dst, np.uint64).reshape(ld, 1)
+        self.dst_qinv = np.array([primes.mont_qinv_neg(q) for q in self.dst],
+                                 np.uint64).reshape(ld, 1)
+        self.dst_r2 = np.array([primes.mont_r2(q) for q in self.dst],
+                               np.uint64).reshape(ld, 1)
+        self.src_q_f = np.array(self.src, np.float64).reshape(ls, 1)
 
     def extend(self, x):
         """x: u64[..., ls, N] residues (coeff domain) → u64[..., ld, N]."""

@@ -1,0 +1,323 @@
+"""Federated-learning workload layer — the reference's 7 CLI binaries as
+Python APIs with identical file contracts (SURVEY.md §2.1, §2.4).
+
+| reference binary             | here                          |
+|------------------------------|-------------------------------|
+| server/src/genCC.cpp         | gen_cc                        |
+| client/src/keyGen.cpp        | key_gen                       |
+| client/src/REkeyGen.cpp      | rekey_gen                     |
+| client/src/encryptModelWeights.cpp  | encrypt_weights        |
+| client/src/decryptModelWeights.cpp  | decrypt_weights        |
+| server/src/changeCipherDomain.cpp   | change_cipher_domain   |
+| server/src/aggregateEncryptedWeights.cpp | aggregate_encrypted_weights |
+
+Weights JSON schema (produced by train/, consumed here — c_trainAndUpdate.py
+:175-190): {"weights_summary": [{layer, shape, mean, std_dev, values[]}…]}.
+Encrypted schema: mean/std_dev → Base64 ciphertext strings, values → list of
+Base64 ciphertext-chunk strings (encryptModelWeights.cpp:63-119).
+
+TPU-first batching: every per-file operation stacks its ciphertexts into one
+(B, k, L, N) array and runs a single vmapped device computation — the
+reference's flat 27-iteration loops (encryptModelWeights.cpp:100,
+changeCipherDomain.cpp:99) become one batched kernel launch.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import secrets
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckks import serialize as ser
+from ..ckks.params import CkksParams
+from ..ckks.scheme import CkksScheme
+from ..ckks.types import Ciphertext
+
+OPTIMIZER_PREFIX = "optimizer"  # layers skipped at encrypt time (encryptModelWeights.cpp:71-74)
+
+
+@functools.lru_cache(maxsize=4)
+def _scheme_for(params: CkksParams) -> CkksScheme:
+    return CkksScheme(params)
+
+
+def load_scheme(cc_path: str) -> CkksScheme:
+    return _scheme_for(ser.load_params(cc_path))
+
+
+def _rng(seed: int | None):
+    return jax.random.PRNGKey(secrets.randbits(63) if seed is None else seed)
+
+
+# ---------------------------------------------------------------------------
+# Context / key generation
+# ---------------------------------------------------------------------------
+
+def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
+    """Build + serialize the shared context. Accepts the reference's
+    config_cc.json schema: {multiplicative_depth, scaling_mod_size,
+    batch_size, PREMode} (genCC.cpp:46-66), plus optional ring_dim /
+    first_mod_size / dnum / use_reference_chain extensions."""
+    if isinstance(config, str):
+        with open(config) as f:
+            config = json.load(f)
+
+    def pick(*names, default=None):
+        for nm in names:
+            if nm in config:
+                return config[nm]
+        return default
+
+    depth = int(pick("multiplicative_depth", "mult_depth", default=2))
+    scale_bits = int(pick("scaling_mod_size", "scale_bits", default=40))
+    batch = int(pick("batch_size", "slots", default=0))
+    n = int(pick("ring_dim", default=1 << 14))
+    pre_mode = pick("PREMode", "pre_mode", default="INDCPA")
+    if pre_mode not in ("INDCPA",):
+        raise ValueError(f"unsupported PREMode {pre_mode} (reference uses INDCPA)")
+    if pick("use_reference_chain", default=False):
+        params = CkksParams.reference(slots=batch or 8192)
+    else:
+        params = CkksParams.generate(
+            n=n, mult_depth=depth, scale_bits=scale_bits,
+            first_mod_bits=int(pick("first_mod_size", default=60)),
+            dnum=int(pick("dnum", default=2)), slots=batch,
+        )
+    ser.save_params(params, cc_out)
+    return params
+
+
+def key_gen(cc_path: str, pub_out: str, priv_out: str, seed: int | None = None) -> None:
+    """cc->KeyGen() + serialize both halves (keyGen.cpp:33,41-48)."""
+    sch = load_scheme(cc_path)
+    sk, pk = sch.keygen(_rng(seed))
+    ser.save_json(ser.serialize_public_key(pk), pub_out)
+    ser.save_json(ser.serialize_secret_key(sk), priv_out)
+
+
+def rekey_gen(cc_path: str, own_priv: str, peer_pub: str, rekey_out: str,
+              seed: int | None = None) -> None:
+    """cc->ReKeyGen(own_sk, peer_pk) (REkeyGen.cpp:52): PRE key own→peer."""
+    sch = load_scheme(cc_path)
+    sk = ser.deserialize_secret_key(ser.load_json(own_priv), sch.ctx)
+    pk = ser.deserialize_public_key(ser.load_json(peer_pub))
+    rk = sch.rekey_gen(sk, pk, _rng(seed))
+    ser.save_json(ser.serialize_ksk(rk), rekey_out)
+
+
+# ---------------------------------------------------------------------------
+# Weight encryption / decryption
+# ---------------------------------------------------------------------------
+
+def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
+                    seed: int | None = None) -> Dict:
+    """Per layer: encrypt scalar mean/std_dev and batch-chunked values
+    (encryptModelWeights.cpp:67-119). All chunks of all layers are encrypted
+    as ONE batched device op."""
+    sch = load_scheme(cc_path)
+    pk = ser.deserialize_public_key(ser.load_json(pub_path))
+    with open(weights_in) as f:
+        weights = json.load(f)
+
+    batch = sch.encoder.slots
+    plain_vecs: List[np.ndarray] = []   # every plaintext vector to encrypt
+    layout = []                          # (layer_meta, n_value_chunks)
+    for entry in weights["weights_summary"]:
+        if entry["layer"].startswith(OPTIMIZER_PREFIX):
+            continue
+        values = np.asarray(entry["values"], dtype=np.float64)
+        plain_vecs.append(np.array([entry["mean"]], np.float64))
+        plain_vecs.append(np.array([entry["std_dev"]], np.float64))
+        nchunks = max(1, math.ceil(values.size / batch))
+        for c in range(nchunks):
+            chunk = values[c * batch : (c + 1) * batch]
+            plain_vecs.append(chunk)  # zero-padding happens in encode
+        layout.append((entry, nchunks))
+
+    cts = _encrypt_batch(sch, pk, plain_vecs, _rng(seed))
+    out = {"weights_summary": []}
+    i = 0
+    for entry, nchunks in layout:
+        rec = {
+            "layer": entry["layer"],
+            "shape": entry["shape"],
+            "mean": ser.ciphertext_to_b64(cts[i]),
+            "std_dev": ser.ciphertext_to_b64(cts[i + 1]),
+            "values": [ser.ciphertext_to_b64(cts[i + 2 + c]) for c in range(nchunks)],
+        }
+        i += 2 + nchunks
+        out["weights_summary"].append(rec)
+    with open(enc_out, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def _encrypt_batch(sch: CkksScheme, pk, vecs: Sequence[np.ndarray], rng) -> List[Ciphertext]:
+    """Encode on host, then one batched encrypt on device."""
+    from ..ckks import rlwe
+
+    l = sch.params.num_q
+    idx = sch.ctx.q_idx(l)
+    moduli = [sch.ctx.moduli_qp[i] for i in idx]
+    scale = sch.params.scale
+    rns = np.stack([
+        sch.encoder.to_rns(sch.encoder.encode(v, scale), moduli) for v in vecs
+    ])  # (B, l, n)
+    pts_eval = sch.ctx.ntt(jnp.asarray(rns), idx)
+
+    def enc_one(pt_data, key):
+        from ..ckks.types import Plaintext
+
+        return rlwe.encrypt(sch.ctx, pk, Plaintext(pt_data, scale=scale), key).data
+
+    keys = jax.random.split(rng, len(vecs))
+    data = jax.jit(jax.vmap(enc_one))(pts_eval, keys)  # (B, 2, l, n)
+    data = np.asarray(jax.device_get(data))
+    return [Ciphertext(jnp.asarray(d), scale=scale) for d in data]
+
+
+def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -> Dict:
+    """Inverse of encrypt_weights with pad-trim to prod(shape)
+    (decryptModelWeights.cpp:97-118)."""
+    sch = load_scheme(cc_path)
+    sk = ser.deserialize_secret_key(ser.load_json(priv_path), sch.ctx)
+    with open(enc_in) as f:
+        enc = json.load(f)
+
+    out = {"weights_summary": []}
+    for entry in enc["weights_summary"]:
+        mean = float(sch.decrypt(sk, ser.ciphertext_from_b64(entry["mean"]), num=1)[0])
+        std = float(sch.decrypt(sk, ser.ciphertext_from_b64(entry["std_dev"]), num=1)[0])
+        size = int(np.prod(entry["shape"]))
+        vals = []
+        for s in entry["values"]:
+            vals.append(sch.decrypt(sk, ser.ciphertext_from_b64(s)))
+        flat = np.concatenate(vals)[:size]
+        out["weights_summary"].append({
+            "layer": entry["layer"],
+            "shape": entry["shape"],
+            "mean": mean,
+            "std_dev": std,
+            "values": [float(x) for x in flat],
+        })
+    with open(plain_out, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Server-side: PRE + aggregation
+# ---------------------------------------------------------------------------
+
+def _load_all_cts(enc: Dict) -> tuple[list, list[Ciphertext]]:
+    """Flatten an encrypted-weights document into (slots, ciphertexts)."""
+    slots, cts = [], []
+    for entry in enc["weights_summary"]:
+        for field in ("mean", "std_dev"):
+            slots.append((entry, field, None))
+            cts.append(ser.ciphertext_from_b64(entry[field]))
+        for i, s in enumerate(entry["values"]):
+            slots.append((entry, "values", i))
+            cts.append(ser.ciphertext_from_b64(s))
+    return slots, cts
+
+
+def _store_all_cts(slots, cts: Sequence[Ciphertext]) -> None:
+    for (entry, field, i), ct in zip(slots, cts):
+        b64 = ser.ciphertext_to_b64(ct)
+        if field == "values":
+            entry["values"][i] = b64
+        else:
+            entry[field] = b64
+
+
+def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: str) -> Dict:
+    """cc->ReEncrypt on every ciphertext field (changeCipherDomain.cpp:74,89,
+    105) — executed as one batched key switch over all B ciphertexts."""
+    sch = load_scheme(cc_path)
+    rekey = ser.deserialize_ksk(ser.load_json(rekey_path))
+    with open(enc_in) as f:
+        enc = json.load(f)
+    slots, cts = _load_all_cts(enc)
+    stack = jnp.stack([ct.data for ct in cts])  # (B, 2, l, n)
+    scale = cts[0].scale
+
+    def re_enc_one(d):
+        return sch.re_encrypt(Ciphertext(d, scale=scale), rekey).data
+
+    out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(re_enc_one))(stack)))
+    new_cts = [Ciphertext(jnp.asarray(d), scale=scale) for d in out_data]
+    _store_all_cts(slots, new_cts)
+    with open(enc_out, "w") as f:
+        json.dump(enc, f)
+    return enc
+
+
+def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out: str) -> Dict:
+    """Homomorphic FedAvg over N clients' encrypted weights, all already in a
+    common key domain: per layer matched by name AND shape
+    (aggregateEncryptedWeights.cpp:71-72), ct_avg = (Σ ct_i)·(1/N)
+    (generalizes the 2-client EvalAdd + EvalMult(·,0.5) at :82-83)."""
+    sch = load_scheme(cc_path)
+    docs = []
+    for p in enc_paths:
+        with open(p) as f:
+            docs.append(json.load(f))
+    n_clients = len(docs)
+
+    base = docs[0]
+    # index the other docs by (layer, shape)
+    def key_of(e):
+        return (e["layer"], tuple(e["shape"]))
+
+    maps = [{key_of(e): e for e in d["weights_summary"]} for d in docs[1:]]
+
+    out = {"weights_summary": []}
+    stack_groups: List[List[Ciphertext]] = []
+    layout = []
+    for entry in base["weights_summary"]:
+        k = key_of(entry)
+        if not all(k in m for m in maps):
+            continue  # unmatched layers dropped, like the reference
+        peers = [m[k] for m in maps]
+        nv = min([len(entry["values"])] + [len(p["values"]) for p in peers])
+        rec = {"layer": entry["layer"], "shape": entry["shape"]}
+        for field in ("mean", "std_dev"):
+            stack_groups.append([ser.ciphertext_from_b64(entry[field])]
+                                + [ser.ciphertext_from_b64(p[field]) for p in peers])
+        for i in range(nv):
+            stack_groups.append([ser.ciphertext_from_b64(entry["values"][i])]
+                                + [ser.ciphertext_from_b64(p["values"][i]) for p in peers])
+        layout.append((rec, nv))
+
+    scale = stack_groups[0][0].scale
+    big = jnp.stack([jnp.stack([ct.data for ct in grp]) for grp in stack_groups])
+    # big: (B, n_clients, 2, l, n) → batched modular sum + single 1/N EvalMult
+
+    def agg_one(group):
+        from ..ckks import eval as ev
+
+        acc = Ciphertext(group[0], scale=scale)
+        for c in range(1, n_clients):
+            acc = ev.add(sch.ctx, acc, Ciphertext(group[c], scale=scale))
+        return ev.mult_scalar(sch.ctx, acc, 1.0 / n_clients).data
+
+    out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(agg_one))(big)))
+    agg_cts = [Ciphertext(jnp.asarray(d), scale=scale) for d in out_data]
+
+    i = 0
+    for rec, nv in layout:
+        rec["mean"] = ser.ciphertext_to_b64(agg_cts[i])
+        rec["std_dev"] = ser.ciphertext_to_b64(agg_cts[i + 1])
+        rec["values"] = [ser.ciphertext_to_b64(agg_cts[i + 2 + c]) for c in range(nv)]
+        i += 2 + nv
+        out["weights_summary"].append(rec)
+    with open(agg_out, "w") as f:
+        json.dump(out, f)
+    return out

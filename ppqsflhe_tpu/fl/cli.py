@@ -1,0 +1,98 @@
+"""CLI for the FL workload tools — the 7 reference binaries as subcommands.
+
+Usage (mirrors the reference binaries' positional contracts, SURVEY.md §2.1):
+
+  python -m ppqsflhe_tpu.fl.cli genCC <config_cc.json> <cc_out>
+  python -m ppqsflhe_tpu.fl.cli keyGen <cc> <pubkey_out> <privkey_out>
+  python -m ppqsflhe_tpu.fl.cli REkeyGen <cc> <own_sk> <peer_pk> <rekey_out>
+  python -m ppqsflhe_tpu.fl.cli encryptModelWeights <cc> <pubkey> <weights_in> <enc_out>
+  python -m ppqsflhe_tpu.fl.cli decryptModelWeights <cc> <privkey> <enc_in> <plain_out>
+  python -m ppqsflhe_tpu.fl.cli changeCipherDomain <cc> <rekey> <enc_in> <enc_out>
+  python -m ppqsflhe_tpu.fl.cli aggregateEncryptedWeights <cc> <agg_out> <enc_in1> <enc_in2> [...]
+  python -m ppqsflhe_tpu.fl.cli train <client_config.json>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from . import api
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ppqsflhe-fl")
+    p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("genCC")
+    s.add_argument("config")
+    s.add_argument("cc_out")
+
+    s = sub.add_parser("keyGen")
+    s.add_argument("cc")
+    s.add_argument("pub_out")
+    s.add_argument("priv_out")
+
+    s = sub.add_parser("REkeyGen")
+    s.add_argument("cc")
+    s.add_argument("own_sk")
+    s.add_argument("peer_pk")
+    s.add_argument("rekey_out")
+
+    s = sub.add_parser("encryptModelWeights")
+    s.add_argument("cc")
+    s.add_argument("pubkey")
+    s.add_argument("weights_in")
+    s.add_argument("enc_out")
+
+    s = sub.add_parser("decryptModelWeights")
+    s.add_argument("cc")
+    s.add_argument("privkey")
+    s.add_argument("enc_in")
+    s.add_argument("plain_out")
+
+    s = sub.add_parser("changeCipherDomain")
+    s.add_argument("cc")
+    s.add_argument("rekey")
+    s.add_argument("enc_in")
+    s.add_argument("enc_out")
+
+    s = sub.add_parser("aggregateEncryptedWeights")
+    s.add_argument("cc")
+    s.add_argument("agg_out")
+    s.add_argument("enc_in", nargs="+")
+
+    s = sub.add_parser("train")
+    s.add_argument("config")
+
+    args = p.parse_args(argv)
+    t0 = time.time()
+    if args.cmd == "genCC":
+        api.gen_cc(args.config, args.cc_out)
+    elif args.cmd == "keyGen":
+        api.key_gen(args.cc, args.pub_out, args.priv_out, seed=args.seed)
+    elif args.cmd == "REkeyGen":
+        api.rekey_gen(args.cc, args.own_sk, args.peer_pk, args.rekey_out, seed=args.seed)
+    elif args.cmd == "encryptModelWeights":
+        api.encrypt_weights(args.cc, args.pubkey, args.weights_in, args.enc_out, seed=args.seed)
+    elif args.cmd == "decryptModelWeights":
+        api.decrypt_weights(args.cc, args.privkey, args.enc_in, args.plain_out)
+    elif args.cmd == "changeCipherDomain":
+        api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out)
+    elif args.cmd == "aggregateEncryptedWeights":
+        api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out)
+    elif args.cmd == "train":
+        from ..train.trainer import train_client
+
+        with open(args.config) as f:
+            cfg = json.load(f)["CLIENT"]
+        train_client(cfg, seed=args.seed or 0)
+    print(f"[{args.cmd}] done in {time.time() - t0:.2f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

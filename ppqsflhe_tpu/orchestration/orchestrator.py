@@ -1,0 +1,201 @@
+"""FL rounds orchestrator — orchestration/run.sh as a Python driver
+(reference lifecycle SURVEY.md §3.1).
+
+Init phase (run.sh:55-62):
+  gen_cc → start artifact server → distribute CC → per-client keyGen →
+  upload pubkeys → cross-distribute peer pubkeys → per-client REkeyGen →
+  upload rekeys.
+
+Each round (run.sh:28-44):
+  per-client local training → encrypt weights → upload →
+  PRE every non-hub client into the hub domain (changeCipherDomain) →
+  homomorphic aggregate (FedAvg) → PRE the aggregate back to each client →
+  download → decrypt → (next round warm-starts from the decrypted global).
+
+Generalized to N clients (the reference hardcodes 2 with hub = client 2 —
+server_fns.sh:62-80); transports: 'http' (reference MONGOOSE mode) or
+'local' (the COMM_MODE != MONGOOSE cp fallback, comm_fns.sh:14-18).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Dict, List
+
+from ..comm.client import CommClient
+from ..comm.server import ArtifactServer
+from ..fl import api
+
+
+def log(role: str, step: str, msg: str) -> None:
+    """Structured logger matching helper_fns.sh:141-146."""
+    print(f"[{datetime.now().isoformat(timespec='seconds')}] [{role}] [{step}] {msg}", flush=True)
+
+
+@dataclass
+class OrchestratorConfig:
+    rounds: int = 5                       # oConfig.json ROUNDS
+    n_clients: int = 2
+    work_dir: str = "./fl_run"
+    comm_mode: str = "local"              # 'http' | 'local'
+    host: str = "127.0.0.1"
+    port: int = 0                         # 0 → ephemeral
+    cc_config: Dict = field(default_factory=dict)  # config_cc.json schema
+    client_configs: List[Dict] = field(default_factory=list)  # CLIENT sections
+    seed: int = 1234
+    train: bool = True                    # False → clients must provide weights JSONs
+
+
+class Orchestrator:
+    def __init__(self, cfg: OrchestratorConfig):
+        self.cfg = cfg
+        self.server_storage = os.path.join(cfg.work_dir, "server_storage")
+        self.client_dirs = [
+            os.path.join(cfg.work_dir, f"client_{i + 1}") for i in range(cfg.n_clients)
+        ]
+        for d in [self.server_storage] + self.client_dirs:
+            os.makedirs(d, exist_ok=True)
+        self.server: ArtifactServer | None = None
+        self.hub = cfg.n_clients  # aggregation domain = last client (reference: C2)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _client_comm(self, i: int) -> CommClient:
+        base = f"http://{self.cfg.host}:{self.server.port}" if self.server else ""
+        return CommClient(
+            base_url=base, role=f"client_{i}", mode=self.cfg.comm_mode,
+            local_storage_root=self.server_storage,
+            metrics_csv=os.path.join(self.cfg.work_dir, "metrics", "comm_metrics.csv"),
+        )
+
+    def _cpath(self, i: int, name: str) -> str:
+        return os.path.join(self.client_dirs[i - 1], name)
+
+    # -- init phase ---------------------------------------------------------
+
+    def init_phase(self):
+        cfg = self.cfg
+        log("server", "genCC", "generating crypto context")
+        cc_server = os.path.join(self.server_storage, "CC.json")
+        api.gen_cc(cfg.cc_config, cc_server)
+
+        if cfg.comm_mode == "http":
+            log("server", "Mserver", "starting artifact server")
+            self.server = ArtifactServer(
+                self.server_storage, cfg.host, cfg.port,
+                metrics_csv=os.path.join(cfg.work_dir, "metrics", "server_comm_metrics.csv"),
+            ).start()
+
+        # distribute CC, generate keys, upload pubkeys
+        for i in range(1, cfg.n_clients + 1):
+            comm = self._client_comm(i)
+            cc_i = self._cpath(i, "CC.json")
+            comm.get("/getCC", cc_i, client_id=f"client_{i}", type_="cc")
+            log(f"client_{i}", "keyGen", "RLWE keypair")
+            api.key_gen(cc_i, self._cpath(i, f"client_{i}-public.key"),
+                        self._cpath(i, f"client_{i}-private.key"), seed=cfg.seed + i)
+            comm.post_file(f"/uploadPubKeyC{i}", self._cpath(i, f"client_{i}-public.key"),
+                           client_id=f"client_{i}", type_="pubkey")
+
+        # cross-distribute peer pubkeys + generate re-encryption keys
+        # (client i needs rekey i→hub; hub needs rekey hub→i for the return trip)
+        hub = self.hub
+        for i in range(1, cfg.n_clients + 1):
+            comm = self._client_comm(i)
+            peers = [hub] if i != hub else [j for j in range(1, cfg.n_clients + 1) if j != hub]
+            for j in peers:
+                peer_pk = self._cpath(i, f"client_{j}-public.key")
+                comm.get(f"/download/client_{j}/client_{j}-public.key", peer_pk,
+                         client_id=f"client_{i}", type_="peer_pubkey")
+                log(f"client_{i}", "REkeyGen", f"PRE key client_{i}→client_{j}")
+                rk = self._cpath(i, f"client_{i}-to-{j}-ReKey.key")
+                api.rekey_gen(self._cpath(i, "CC.json"),
+                              self._cpath(i, f"client_{i}-private.key"), peer_pk, rk,
+                              seed=cfg.seed + 100 * i + j)
+                comm.post_file(f"/uploadReKeyC{i}", rk, client_id=f"client_{i}", type_="rekey")
+
+    # -- one round ----------------------------------------------------------
+
+    def run_round(self, r: int) -> Dict:
+        cfg = self.cfg
+        hub = self.hub
+        t_round = time.time()
+        # 1) local training + encrypt + upload
+        for i in range(1, cfg.n_clients + 1):
+            ccfg = dict(cfg.client_configs[i - 1]) if cfg.client_configs else {}
+            weights = ccfg.get("INPUT_WEIGHTS_PATH") or self._cpath(i, "weights.json")
+            if cfg.train:
+                log(f"client_{i}", "training", f"round {r} local training")
+                from ..train.trainer import train_client
+
+                ccfg.setdefault("client_id", f"client_{i}")
+                ccfg["INPUT_WEIGHTS_PATH"] = weights
+                ccfg.setdefault("OUTPUT_DECRYPTED_WEIGHTS_PATH",
+                                self._cpath(i, "decrypted_weights.json"))
+                train_client(ccfg, seed=cfg.seed + 1000 * r + i, verbose=False)
+            log(f"client_{i}", "encrypt", "encrypting weights")
+            enc = self._cpath(i, f"encrypted_weights_c{i}.json")
+            api.encrypt_weights(self._cpath(i, "CC.json"),
+                                self._cpath(i, f"client_{i}-public.key"),
+                                weights, enc, seed=cfg.seed + 2000 * r + i)
+            self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", enc,
+                                           client_id=f"client_{i}", type_="enc_weights")
+
+        # 2) server: PRE non-hub clients into hub domain
+        cc_server = os.path.join(self.server_storage, "CC.json")
+        hub_domain_files = []
+        for i in range(1, cfg.n_clients + 1):
+            src = os.path.join(self.server_storage, f"client_{i}",
+                               f"encrypted_weights_c{i}.json")
+            if i == hub:
+                hub_domain_files.append(src)
+                continue
+            log("server", "changeCipherDomain", f"client_{i} → client_{hub} domain")
+            rekey = os.path.join(self.server_storage, f"client_{i}",
+                                 f"client_{i}-to-{hub}-ReKey.key")
+            dst = os.path.join(self.server_storage, f"c{i}_domainChange_c{hub}.json")
+            api.change_cipher_domain(cc_server, rekey, src, dst)
+            hub_domain_files.append(dst)
+
+        # 3) homomorphic FedAvg in the hub domain
+        log("server", "aggregate", f"FedAvg over {cfg.n_clients} clients")
+        agg = os.path.join(self.server_storage, "aggregated_weights.json")
+        api.aggregate_encrypted_weights(cc_server, hub_domain_files, agg)
+
+        # 4) PRE the aggregate back to each non-hub client + distribute
+        for i in range(1, cfg.n_clients + 1):
+            if i == hub:
+                src_rel = "aggregated_weights.json"
+            else:
+                log("server", "changeCipherDomain", f"aggregate → client_{i} domain")
+                rekey = os.path.join(self.server_storage, f"client_{hub}",
+                                     f"client_{hub}-to-{i}-ReKey.key")
+                dst = os.path.join(self.server_storage,
+                                   f"c{hub}_domainChange_c{i}.json")
+                api.change_cipher_domain(cc_server, rekey, agg, dst)
+                src_rel = os.path.basename(dst)
+            dest = self._cpath(i, "aggregated_for_me.json")
+            self._client_comm(i).get(f"/download/{src_rel}", dest,
+                                     client_id=f"client_{i}", type_="aggregated")
+            log(f"client_{i}", "decrypt", "decrypting aggregate")
+            api.decrypt_weights(self._cpath(i, "CC.json"),
+                                self._cpath(i, f"client_{i}-private.key"),
+                                dest, self._cpath(i, "decrypted_weights.json"))
+        dt = time.time() - t_round
+        log("orchestrator", "round", f"round {r} complete in {dt:.1f}s")
+        return {"round": r, "seconds": dt}
+
+    # -- full run -----------------------------------------------------------
+
+    def run(self) -> List[Dict]:
+        t0 = time.time()
+        self.init_phase()
+        log("orchestrator", "init", f"init phase complete in {time.time() - t0:.1f}s")
+        results = [self.run_round(r) for r in range(1, self.cfg.rounds + 1)]
+        if self.server:
+            self.server.stop()
+        return results

@@ -1,0 +1,194 @@
+"""End-to-end CKKS scheme tests (SURVEY.md §7.1 steps 3-6).
+
+Small ring (N=256) for CPU speed; the parameter *structure* (60/40/40-bit
+chain, dnum=2 hybrid KS, special primes) mirrors the reference set.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from ppqsflhe_tpu.ckks.params import CkksParams
+from ppqsflhe_tpu.ckks.scheme import CkksScheme
+
+
+@pytest.fixture(scope="module")
+def sch():
+    params = CkksParams.generate(n=256, mult_depth=2, scale_bits=40, dnum=2)
+    return CkksScheme(params)
+
+
+@pytest.fixture(scope="module")
+def keys(sch):
+    sk, pk = sch.keygen(jax.random.PRNGKey(0))
+    return sk, pk
+
+
+def rand_vec(sch, seed=0, lo=-1.0, hi=1.0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, sch.encoder.slots)
+
+
+def test_encode_decode_roundtrip(sch):
+    v = rand_vec(sch, 1)
+    coeffs = sch.encoder.encode(v, sch.params.scale)
+    back = sch.encoder.decode(coeffs.astype(np.float64), sch.params.scale).real
+    np.testing.assert_allclose(back, v, atol=1e-9)
+
+
+def test_encrypt_decrypt(sch, keys):
+    sk, pk = keys
+    v = rand_vec(sch, 2)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(1))
+    out = sch.decrypt(sk, ct)
+    np.testing.assert_allclose(out, v, atol=1e-6)
+
+
+def test_add_sub(sch, keys):
+    sk, pk = keys
+    v1, v2 = rand_vec(sch, 3), rand_vec(sch, 4)
+    ct1 = sch.encrypt_values(pk, v1, jax.random.PRNGKey(2))
+    ct2 = sch.encrypt_values(pk, v2, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(sch.decrypt(sk, sch.add(ct1, ct2)), v1 + v2, atol=1e-6)
+    np.testing.assert_allclose(sch.decrypt(sk, sch.sub(ct1, ct2)), v1 - v2, atol=1e-6)
+
+
+def test_mult_scalar_rescale(sch, keys):
+    """The reference aggregation op: EvalMult(ct, 0.5) + rescale
+    (aggregateEncryptedWeights.cpp:83). Scale must be unchanged after."""
+    sk, pk = keys
+    v = rand_vec(sch, 5)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(4))
+    out = sch.mult_scalar(ct, 0.5)
+    assert out.nlimbs == ct.nlimbs - 1
+    assert np.isclose(out.scale, ct.scale)
+    np.testing.assert_allclose(sch.decrypt(sk, out), 0.5 * v, atol=1e-6)
+
+
+def test_fedavg_identity(sch, keys):
+    """decrypt(0.5*(Enc(v1)+Enc(v2))) ≈ (v1+v2)/2 — the homomorphic FedAvg."""
+    sk, pk = keys
+    v1, v2 = rand_vec(sch, 6), rand_vec(sch, 7)
+    ct1 = sch.encrypt_values(pk, v1, jax.random.PRNGKey(5))
+    ct2 = sch.encrypt_values(pk, v2, jax.random.PRNGKey(6))
+    avg = sch.mult_scalar(sch.add(ct1, ct2), 0.5)
+    np.testing.assert_allclose(sch.decrypt(sk, avg), (v1 + v2) / 2, atol=1e-6)
+
+
+def test_mult_plain(sch, keys):
+    sk, pk = keys
+    v1, v2 = rand_vec(sch, 8), rand_vec(sch, 9)
+    ct = sch.encrypt_values(pk, v1, jax.random.PRNGKey(7))
+    pt = sch.make_plaintext(v2)
+    out = sch.mult_plain(ct, pt)
+    np.testing.assert_allclose(sch.decrypt(sk, out), v1 * v2, atol=1e-5)
+
+
+def test_ct_ct_mult_relin(sch, keys):
+    sk, pk = keys
+    rk = sch.relin_key_gen(sk, jax.random.PRNGKey(10))
+    v1, v2 = rand_vec(sch, 10), rand_vec(sch, 11)
+    ct1 = sch.encrypt_values(pk, v1, jax.random.PRNGKey(8))
+    ct2 = sch.encrypt_values(pk, v2, jax.random.PRNGKey(9))
+    out = sch.mult(ct1, ct2, rk)
+    assert out.num_components == 2
+    np.testing.assert_allclose(sch.decrypt(sk, out), v1 * v2, atol=1e-4)
+
+
+def test_depth2_circuit(sch, keys):
+    """(v1*v2)*0.25 uses both levels (BASELINE.json config 2 analogue)."""
+    sk, pk = keys
+    rk = sch.relin_key_gen(sk, jax.random.PRNGKey(12))
+    v1, v2 = rand_vec(sch, 12), rand_vec(sch, 13)
+    ct1 = sch.encrypt_values(pk, v1, jax.random.PRNGKey(13))
+    ct2 = sch.encrypt_values(pk, v2, jax.random.PRNGKey(14))
+    prod = sch.mult(ct1, ct2, rk)
+    out = sch.mult_scalar(prod, 0.25)
+    assert out.nlimbs == 1
+    np.testing.assert_allclose(sch.decrypt(sk, out), v1 * v2 * 0.25, atol=1e-3)
+
+
+def test_rotation(sch, keys):
+    sk, pk = keys
+    rot_keys = sch.rotation_key_gen(sk, [1, 3], jax.random.PRNGKey(15))
+    v = rand_vec(sch, 14)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(16))
+    for r in (1, 3):
+        out = sch.decrypt(sk, sch.rotate(ct, r, rot_keys))
+        np.testing.assert_allclose(out, np.roll(v, -r), atol=1e-4)
+
+
+def test_hoisted_rotations(sch, keys):
+    sk, pk = keys
+    rots = [1, 2, 5]
+    rot_keys = sch.rotation_key_gen(sk, rots, jax.random.PRNGKey(17))
+    v = rand_vec(sch, 15)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(18))
+    outs = sch.rotate_hoisted(ct, rots, rot_keys)
+    for r, out in zip(rots, outs):
+        np.testing.assert_allclose(sch.decrypt(sk, out), np.roll(v, -r), atol=1e-4)
+
+
+def test_conjugation(sch, keys):
+    sk, pk = keys
+    ck = sch.conjugation_key_gen(sk, jax.random.PRNGKey(19))
+    v = rand_vec(sch, 16)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(20))
+    out = sch.decrypt(sk, sch.conjugate(ct, ck))
+    np.testing.assert_allclose(out, v, atol=1e-4)  # real input: conj == id
+
+
+def test_proxy_reencryption(sch):
+    """A encrypts; server re-encrypts to B's domain with a key derived from
+    A's secret + B's *public* key only; B decrypts (changeCipherDomain)."""
+    sk_a, pk_a = sch.keygen(jax.random.PRNGKey(30))
+    sk_b, pk_b = sch.keygen(jax.random.PRNGKey(31))
+    rekey = sch.rekey_gen(sk_a, pk_b, jax.random.PRNGKey(32))
+    v = rand_vec(sch, 17)
+    ct_a = sch.encrypt_values(pk_a, v, jax.random.PRNGKey(33))
+    ct_b = sch.re_encrypt(ct_a, rekey)
+    np.testing.assert_allclose(sch.decrypt(sk_b, ct_b), v, atol=1e-4)
+    # and B's ct is NOT decryptable by A (sanity)
+    wrong = sch.decrypt(sk_a, ct_b)
+    assert np.abs(wrong - v).max() > 1e-2
+
+
+def test_pre_then_aggregate(sch):
+    """The reference server round: PRE C1→C2 domain, EvalAdd, EvalMult 0.5,
+    PRE back to C1 (run_round, SURVEY.md §3.1)."""
+    sk1, pk1 = sch.keygen(jax.random.PRNGKey(40))
+    sk2, pk2 = sch.keygen(jax.random.PRNGKey(41))
+    rk_1to2 = sch.rekey_gen(sk1, pk2, jax.random.PRNGKey(42))
+    rk_2to1 = sch.rekey_gen(sk2, pk1, jax.random.PRNGKey(43))
+    v1, v2 = rand_vec(sch, 18), rand_vec(sch, 19)
+    ct1 = sch.encrypt_values(pk1, v1, jax.random.PRNGKey(44))
+    ct2 = sch.encrypt_values(pk2, v2, jax.random.PRNGKey(45))
+    ct1_in2 = sch.re_encrypt(ct1, rk_1to2)
+    agg = sch.mult_scalar(sch.add(ct1_in2, ct2), 0.5)
+    want = (v1 + v2) / 2
+    np.testing.assert_allclose(sch.decrypt(sk2, agg), want, atol=1e-4)
+    agg_in1 = sch.re_encrypt(agg, rk_2to1)
+    np.testing.assert_allclose(sch.decrypt(sk1, agg_in1), want, atol=1e-4)
+
+
+def test_inner_product(sch, keys):
+    sk, pk = keys
+    rk = sch.relin_key_gen(sk, jax.random.PRNGKey(50))
+    slots = sch.encoder.slots
+    rots = [1 << i for i in range(int(np.log2(slots)))]
+    rot_keys = sch.rotation_key_gen(sk, rots, jax.random.PRNGKey(51))
+    v1, v2 = rand_vec(sch, 20) * 0.1, rand_vec(sch, 21) * 0.1
+    ct1 = sch.encrypt_values(pk, v1, jax.random.PRNGKey(52))
+    ct2 = sch.encrypt_values(pk, v2, jax.random.PRNGKey(53))
+    out = sch.inner_product(ct1, ct2, rk, rot_keys)
+    want = float(np.dot(v1, v2))
+    got = sch.decrypt(sk, out)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sparse_packing(sch, keys):
+    sk, pk = keys
+    v = rand_vec(sch, 22)[:10]
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(54))
+    out = sch.decrypt(sk, ct, num=10)
+    np.testing.assert_allclose(out, v, atol=1e-6)

@@ -1,0 +1,147 @@
+"""End-to-end FL workload tests — the 7-binary pipeline with the reference's
+file contracts (SURVEY.md §2.4, §3.1), on a small ring for CPU speed."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ppqsflhe_tpu.fl import api
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fl")
+    cc = str(d / "CC.json")
+    api.gen_cc({"multiplicative_depth": 2, "scaling_mod_size": 40,
+                "batch_size": 32, "PREMode": "INDCPA", "ring_dim": 128}, cc)
+    paths = {"cc": cc, "dir": str(d)}
+    for i in (1, 2):
+        paths[f"pk{i}"] = str(d / f"c{i}-public.key")
+        paths[f"sk{i}"] = str(d / f"c{i}-private.key")
+        api.key_gen(cc, paths[f"pk{i}"], paths[f"sk{i}"], seed=100 + i)
+    api.rekey_gen(cc, paths["sk1"], paths["pk2"], str(d / "rk12.key"), seed=7)
+    api.rekey_gen(cc, paths["sk2"], paths["pk1"], str(d / "rk21.key"), seed=8)
+    paths["rk12"] = str(d / "rk12.key")
+    paths["rk21"] = str(d / "rk21.key")
+    return paths
+
+
+def make_weights(path, seed, with_optimizer=False):
+    rng = np.random.default_rng(seed)
+    summary = []
+    for i, shape in enumerate([(3, 6), (50,), (1,)]):
+        vals = rng.uniform(-1, 1, int(np.prod(shape)))
+        summary.append({
+            "layer": f"param_{i}", "shape": list(shape),
+            "mean": float(vals.mean()), "std_dev": float(vals.std()),
+            "values": [float(v) for v in vals],
+        })
+    if with_optimizer:
+        summary.append({"layer": "optimizer/adam", "shape": [2],
+                        "mean": 0.0, "std_dev": 0.0, "values": [0.0, 0.0]})
+    with open(path, "w") as f:
+        json.dump({"weights_summary": summary}, f)
+    return summary
+
+
+def load_values(doc, layer):
+    for e in doc["weights_summary"]:
+        if e["layer"] == layer:
+            return np.asarray(e["values"])
+    raise KeyError(layer)
+
+
+def test_encrypt_decrypt_roundtrip(env):
+    w_in = os.path.join(env["dir"], "w1.json")
+    want = make_weights(w_in, 1, with_optimizer=True)
+    enc = os.path.join(env["dir"], "enc1.json")
+    api.encrypt_weights(env["cc"], env["pk1"], w_in, enc, seed=11)
+    with open(enc) as f:
+        enc_doc = json.load(f)
+    # optimizer layers are skipped (encryptModelWeights.cpp:71-74)
+    layers = [e["layer"] for e in enc_doc["weights_summary"]]
+    assert "optimizer/adam" not in layers
+    # 50 values at batch 32 → 2 chunks (zero-padded); trim on decrypt
+    e50 = [e for e in enc_doc["weights_summary"] if e["layer"] == "param_1"][0]
+    assert len(e50["values"]) == 2
+
+    dec = os.path.join(env["dir"], "dec1.json")
+    api.decrypt_weights(env["cc"], env["sk1"], enc, dec)
+    with open(dec) as f:
+        dec_doc = json.load(f)
+    for e in want[:3]:
+        got = load_values(dec_doc, e["layer"])
+        assert got.size == int(np.prod(e["shape"]))  # padding trimmed
+        np.testing.assert_allclose(got, e["values"], atol=1e-5)
+        rec = [x for x in dec_doc["weights_summary"] if x["layer"] == e["layer"]][0]
+        assert abs(rec["mean"] - e["mean"]) < 1e-5
+        assert abs(rec["std_dev"] - e["std_dev"]) < 1e-5
+
+
+def test_full_server_round(env):
+    """The complete reference round: encrypt ×2 → PRE C1→C2 → aggregate →
+    PRE →C1 → decrypt ×2 (SURVEY.md §3.1)."""
+    d = env["dir"]
+    w1, w2 = os.path.join(d, "rw1.json"), os.path.join(d, "rw2.json")
+    s1 = make_weights(w1, 21)
+    s2 = make_weights(w2, 22)
+    e1, e2 = os.path.join(d, "re1.json"), os.path.join(d, "re2.json")
+    api.encrypt_weights(env["cc"], env["pk1"], w1, e1, seed=31)
+    api.encrypt_weights(env["cc"], env["pk2"], w2, e2, seed=32)
+    e1in2 = os.path.join(d, "re1in2.json")
+    api.change_cipher_domain(env["cc"], env["rk12"], e1, e1in2)
+    agg = os.path.join(d, "ragg.json")
+    api.aggregate_encrypted_weights(env["cc"], [e1in2, e2], agg)
+    agg1 = os.path.join(d, "ragg_in1.json")
+    api.change_cipher_domain(env["cc"], env["rk21"], agg, agg1)
+
+    d2 = os.path.join(d, "rdec2.json")
+    api.decrypt_weights(env["cc"], env["sk2"], agg, d2)
+    d1 = os.path.join(d, "rdec1.json")
+    api.decrypt_weights(env["cc"], env["sk1"], agg1, d1)
+    with open(d1) as f:
+        doc1 = json.load(f)
+    with open(d2) as f:
+        doc2 = json.load(f)
+    for a, b in zip(s1, s2):
+        want = (np.asarray(a["values"]) + np.asarray(b["values"])) / 2
+        np.testing.assert_allclose(load_values(doc1, a["layer"]), want, atol=1e-3)
+        np.testing.assert_allclose(load_values(doc2, a["layer"]), want, atol=1e-3)
+
+
+def test_nclient_aggregate(env):
+    """Generalized N>2 client FedAvg (multikey extension)."""
+    d = env["dir"]
+    docs, plains = [], []
+    for i in range(3):
+        w = os.path.join(d, f"nw{i}.json")
+        plains.append(make_weights(w, 40 + i))
+        e = os.path.join(d, f"ne{i}.json")
+        api.encrypt_weights(env["cc"], env["pk1"], w, e, seed=50 + i)
+        docs.append(e)
+    agg = os.path.join(d, "nagg.json")
+    api.aggregate_encrypted_weights(env["cc"], docs, agg)
+    dec = os.path.join(d, "ndec.json")
+    api.decrypt_weights(env["cc"], env["sk1"], agg, dec)
+    with open(dec) as f:
+        doc = json.load(f)
+    for layer in ("param_0", "param_1", "param_2"):
+        want = np.mean([np.asarray([e for e in p if e["layer"] == layer][0]["values"])
+                        for p in plains], axis=0)
+        np.testing.assert_allclose(load_values(doc, layer), want, atol=1e-3)
+
+
+def test_cli_smoke(env, tmp_path):
+    from ppqsflhe_tpu.fl.cli import main
+
+    w = str(tmp_path / "w.json")
+    make_weights(w, 60)
+    enc = str(tmp_path / "e.json")
+    assert main(["--seed", "3", "encryptModelWeights", env["cc"], env["pk1"], w, enc]) == 0
+    dec = str(tmp_path / "dec.json")
+    assert main(["decryptModelWeights", env["cc"], env["sk1"], enc, dec]) == 0
+    with open(dec) as f:
+        doc = json.load(f)
+    assert len(doc["weights_summary"]) == 3
