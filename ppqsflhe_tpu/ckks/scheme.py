@@ -59,10 +59,14 @@ class CkksScheme:
 
     def relin_key_gen(self, sk: SecretKey, rng_key) -> KeySwitchKey:
         L = self.params.num_q
-        s = sk.s_eval[:L]
-        idx = tuple(range(L))
-        s2 = rlwe._poly_mul(self.ctx, s, s, idx)
-        return ev.keyswitch_key_gen(self.ctx, s2, rng_key, sk_to=sk)
+
+        def mk():
+            def f(sk_, k):
+                s = sk_.s_eval[:L]
+                s2 = rlwe._poly_mul(self.ctx, s, s, tuple(range(L)))
+                return ev.keyswitch_key_gen(self.ctx, s2, k, sk_to=sk_)
+            return f
+        return self._jit("relin_key_gen", mk)(sk, rng_key)
 
     def rotation_key_gen(self, sk: SecretKey, rotations, rng_key) -> dict:
         """Keys for slot rotations (EvalRotateKeyGen)."""
@@ -71,21 +75,36 @@ class CkksScheme:
         out = {}
         for r, k in zip(rotations, keys):
             g = ev.rot_to_galois(r, self.params.n)
-            s_rot = ev.automorphism(self.ctx, sk.s_eval[:L], g)
-            out[r] = ev.keyswitch_key_gen(self.ctx, s_rot, k, sk_to=sk)
+
+            def mk(g=g):
+                def f(sk_, k_):
+                    s_rot = ev.automorphism(self.ctx, sk_.s_eval[:L], g)
+                    return ev.keyswitch_key_gen(self.ctx, s_rot, k_, sk_to=sk_)
+                return f
+            out[r] = self._jit(("rot_key_gen", g), mk)(sk, k)
         return out
 
     def conjugation_key_gen(self, sk: SecretKey, rng_key) -> KeySwitchKey:
         L = self.params.num_q
         g = 2 * self.params.n - 1
-        s_conj = ev.automorphism(self.ctx, sk.s_eval[:L], g)
-        return ev.keyswitch_key_gen(self.ctx, s_conj, rng_key, sk_to=sk)
+
+        def mk():
+            def f(sk_, k_):
+                s_conj = ev.automorphism(self.ctx, sk_.s_eval[:L], g)
+                return ev.keyswitch_key_gen(self.ctx, s_conj, k_, sk_to=sk_)
+            return f
+        return self._jit("conj_key_gen", mk)(sk, rng_key)
 
     def rekey_gen(self, sk_from: SecretKey, pk_to: PublicKey, rng_key) -> KeySwitchKey:
         """Proxy re-encryption key A→B from A's secret and B's *public* key
         (INDCPA PRE — cc->ReKeyGen, client/src/REkeyGen.cpp:52)."""
         L = self.params.num_q
-        return ev.keyswitch_key_gen(self.ctx, sk_from.s_eval[:L], rng_key, pk_to=pk_to)
+
+        def mk():
+            def f(s_eval, k_, pk_):
+                return ev.keyswitch_key_gen(self.ctx, s_eval[:L], k_, pk_to=pk_)
+            return f
+        return self._jit("rekey_gen", mk)(sk_from.s_eval, rng_key, pk_to)
 
     # -- encrypt / decrypt --------------------------------------------------
 

@@ -1,0 +1,177 @@
+"""Fused four-step NTT as a Pallas TPU kernel (+ identical XLA fallback).
+
+One kernel invocation per RNS limb (grid=(L,)) keeps the whole limb
+(N ≤ 2^16 → ≤ 512 KB as u32 pairs) resident in VMEM across ALL stages —
+twist, 2× column NTT, twiddle, transpose — with zero HBM round-trips
+between stages, unlike the stage-by-stage XLA path. All arithmetic is the
+u32-pair Shoup/add/sub from ops/u32pair.py (no 64-bit ops inside the
+kernel; Mosaic lanes are 32-bit).
+
+`implementation='xla'` runs the same body as plain jnp (used on CPU, in
+tests, and as a safety fallback).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u32pair as up
+from .fourstep import FourStepTables, intt_body, kernel_to_std, ntt_body
+
+_ELEM_TABS = ("twist", "itwist", "twiddle", "itwiddle")
+_STAGE_TABS = ("gs1", "gs2", "ct1", "ct2")
+
+
+class FourStepNtt:
+    def __init__(self, n: int, moduli: Sequence[int], psis: Sequence[int]):
+        self.n = n
+        self.moduli = tuple(int(q) for q in moduli)
+        self.tabs = [FourStepTables.build(n, q, p) for q, p in zip(moduli, psis)]
+        self.n1, self.n2 = self.tabs[0].n1, self.tabs[0].n2
+        # stacked tables (L, ...) for the pallas path
+        self._stacked = {}
+        for name in _ELEM_TABS + _STAGE_TABS:
+            parts = [getattr(t, name) for t in self.tabs]
+            self._stacked[name] = tuple(
+                np.stack([p[i] for p in parts]) for i in range(4)
+            )
+        self._q = np.stack([
+            np.array([[t.q_pair[0]]], np.uint32) for t in self.tabs
+        ]), np.stack([
+            np.array([[t.q_pair[1]]], np.uint32) for t in self.tabs
+        ])
+        self.perm_to_std = kernel_to_std(n)          # std[b] = kernel[perm[b]]
+        self.perm_from_std = np.argsort(self.perm_to_std)
+
+    # -- shared body dispatch ----------------------------------------------
+
+    def _run(self, x64, forward: bool, implementation: str):
+        L = x64.shape[-2]
+        lead = x64.shape[:-2]
+        x = x64.reshape((-1, L, self.n))
+        if implementation == "pallas":
+            out = _pallas_transform(
+                x, self._stacked, self._q, self.n1, self.n2, forward)
+        else:
+            out = _xla_transform(x, self.tabs, self.n1, self.n2, forward)
+        return out.reshape(lead + (L, self.n))
+
+    def ntt(self, x64, implementation: str = "pallas"):
+        """coeff (natural) → eval (kernel order). u64[..., L, N]."""
+        return self._run(x64, True, implementation)
+
+    def intt(self, x64, implementation: str = "pallas"):
+        return self._run(x64, False, implementation)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback: same body, loop over limbs
+# ---------------------------------------------------------------------------
+
+def _xla_transform(x, tabs, n1, n2, forward):  # x: (B, L, N) u64
+    outs = []
+    for i, t in enumerate(tabs):
+        def one(v64, t=t):
+            lo, hi = up.split64(v64.reshape(n1, n2) if forward else v64.reshape(n2, n1))
+            lo2, hi2 = (ntt_body if forward else intt_body)(lo, hi, t)
+            return up.join64(lo2, hi2).reshape(-1)
+        outs.append(jax.vmap(one)(x[:, i]))
+    return jnp.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _pallas_transform(x, stacked, qpair, n1, n2, forward):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, N = x.shape
+    xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    xhi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+    shape_in = (n1, n2) if forward else (n2, n1)
+    shape_out = (n2, n1) if forward else (n1, n2)
+    xlo = xlo.reshape(B, L, *shape_in)
+    xhi = xhi.reshape(B, L, *shape_in)
+
+    tab_names = ("twist", "twiddle", "gs1", "gs2") if forward else (
+        "itwist", "itwiddle", "ct1", "ct2")
+    tab_arrays = []
+    tab_specs = []
+    for name in tab_names:
+        for arr in stacked[name]:
+            tab_arrays.append(jnp.asarray(arr))
+            if arr.ndim == 3:   # (L, n1, n2) elementwise table
+                tab_specs.append(pl.BlockSpec(
+                    (1, arr.shape[1], arr.shape[2]),
+                    lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM))
+            else:               # (L, m-1) stage table
+                tab_specs.append(pl.BlockSpec(
+                    (1, arr.shape[1]), lambda b, l: (l, 0),
+                    memory_space=pltpu.VMEM))
+    qlo_arr, qhi_arr = (jnp.asarray(q) for q in qpair)   # (L,1,1)
+    qspec = pl.BlockSpec((1, 1, 1), lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(xlo_ref, xhi_ref, *refs):
+        tab_refs = refs[:-4]
+        qlo_ref, qhi_ref, olo_ref, ohi_ref = refs[-4:]
+        idx = 0
+        tabs = {}
+        for name in tab_names:
+            vals = []
+            for _ in range(4):
+                r = tab_refs[idx]
+                v = r[...]
+                vals.append(v[0])      # drop limb block dim
+                idx += 1
+            tabs[name] = tuple(vals)
+        qlo = qlo_ref[0, 0, 0]
+        qhi = qhi_ref[0, 0, 0]
+        lo = xlo_ref[0, 0]
+        hi = xhi_ref[0, 0]
+        if forward:
+            t = _KTabs(tabs["twist"], tabs["twiddle"], tabs["gs1"], tabs["gs2"],
+                       (qlo, qhi), n1, n2)
+            olo, ohi = ntt_body(lo, hi, t)
+        else:
+            t = _KTabs(tabs["itwist"], tabs["itwiddle"], tabs["ct1"], tabs["ct2"],
+                       (qlo, qhi), n1, n2, forward=False)
+            olo, ohi = intt_body(lo, hi, t)
+        olo_ref[0, 0] = olo
+        ohi_ref[0, 0] = ohi
+
+    out_spec = pl.BlockSpec((1, 1, *shape_out), lambda b, l: (b, l, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_spec_x = pl.BlockSpec((1, 1, *shape_in), lambda b, l: (b, l, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    olo, ohi = pl.pallas_call(
+        kernel,
+        grid=(B, L),
+        in_specs=[in_spec_x, in_spec_x] + tab_specs + [qspec, qspec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32),
+            jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32),
+        ),
+    )(xlo, xhi, *tab_arrays, qlo_arr, qhi_arr)
+    out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
+    return out.reshape(B, L, N)
+
+
+class _KTabs:
+    """Duck-typed FourStepTables view for the kernel body."""
+
+    def __init__(self, twist, twiddle, s1, s2, q_pair, n1, n2, forward=True):
+        if forward:
+            self.twist, self.twiddle, self.gs1, self.gs2 = twist, twiddle, s1, s2
+        else:
+            self.itwist, self.itwiddle, self.ct1, self.ct2 = twist, twiddle, s1, s2
+        self.q_pair = q_pair
+        self.n1, self.n2 = n1, n2

@@ -17,8 +17,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-M16 = jnp.uint32(0xFFFF)
-S16 = jnp.uint32(16)
+# Python-int constants (not device scalars): they fold into the op stream as
+# weak-typed immediates, so kernel bodies using them capture no constants —
+# required for pl.pallas_call.
+M16 = 0xFFFF
+S16 = 16
 
 
 def split64(x64):

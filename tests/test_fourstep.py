@@ -1,0 +1,126 @@
+"""Four-step NTT + u32-pair arithmetic tests (ops/)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ppqsflhe_tpu.core import primes
+from ppqsflhe_tpu.core.ntt import NttBasis
+from ppqsflhe_tpu.ops import u32pair as up
+from ppqsflhe_tpu.ops.pallas_ntt import FourStepNtt
+
+
+def pairs(vals):
+    v = np.asarray(vals, np.uint64)
+    return jnp.asarray(v & np.uint64(0xFFFFFFFF), jnp.uint32), jnp.asarray(v >> np.uint64(32), jnp.uint32)
+
+
+def join(lo, hi):
+    return np.asarray(lo, np.uint64) | (np.asarray(hi, np.uint64) << np.uint64(32))
+
+
+Q = 1152921504606748673  # the reference 60-bit modulus
+
+
+def test_u32pair_mul64_wide():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 64, 256, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, 256, dtype=np.uint64)
+    alo, ahi = pairs(a)
+    blo, bhi = pairs(b)
+    w0, w1, w2, w3 = up.mul64_wide(alo, ahi, blo, bhi)
+    for i in range(256):
+        want = int(a[i]) * int(b[i])
+        got = (int(w0[i]) | (int(w1[i]) << 32) | (int(w2[i]) << 64) | (int(w3[i]) << 96))
+        assert got == want, i
+
+
+def test_u32pair_modops():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, Q, 512, dtype=np.uint64)
+    b = rng.integers(0, Q, 512, dtype=np.uint64)
+    alo, ahi = pairs(a)
+    blo, bhi = pairs(b)
+    qlo, qhi = jnp.uint32(Q & 0xFFFFFFFF), jnp.uint32(Q >> 32)
+    slo, shi = up.modadd64(alo, ahi, blo, bhi, qlo, qhi)
+    assert (join(slo, shi).astype(object) == (a.astype(object) + b) % Q).all()
+    dlo, dhi = up.modsub64(alo, ahi, blo, bhi, qlo, qhi)
+    assert (join(dlo, dhi).astype(object) == (a.astype(object) - b) % Q).all()
+
+
+def test_u32pair_shoup():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, Q, 512, dtype=np.uint64)
+    w = int(rng.integers(0, Q))
+    ws = primes.shoup_precompute(w, Q)
+    alo, ahi = pairs(a)
+    wlo, whi = jnp.uint32(w & 0xFFFFFFFF), jnp.uint32(w >> 32)
+    wslo, wshi = jnp.uint32(ws & 0xFFFFFFFF), jnp.uint32(ws >> 32)
+    qlo, qhi = jnp.uint32(Q & 0xFFFFFFFF), jnp.uint32(Q >> 32)
+    rlo, rhi = up.shoup_mul64(alo, ahi, wlo, whi, wslo, wshi, qlo, qhi)
+    assert (join(rlo, rhi).astype(object) == (a.astype(object) * w) % Q).all()
+
+
+def test_u32pair_montmul():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, Q, 512, dtype=np.uint64)
+    b = rng.integers(0, Q, 512, dtype=np.uint64)
+    qinv = primes.mont_qinv_neg(Q)
+    alo, ahi = pairs(a)
+    blo, bhi = pairs(b)
+    qlo, qhi = jnp.uint32(Q & 0xFFFFFFFF), jnp.uint32(Q >> 32)
+    ilo, ihi = jnp.uint32(qinv & 0xFFFFFFFF), jnp.uint32(qinv >> 32)
+    rlo, rhi = up.mont_mul64(alo, ahi, blo, bhi, qlo, qhi, ilo, ihi)
+    rinv = primes.mod_inverse(1 << 64, Q)
+    want = (a.astype(object) * b % Q) * rinv % Q
+    assert (join(rlo, rhi).astype(object) == want).all()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 256
+    moduli = [Q, primes.first_prime_down(40, 2 * n)]
+    psis = [primes.root_of_unity(2 * n, q) for q in moduli]
+    basis = NttBasis(n, moduli, psis)
+    fs = FourStepNtt(n, moduli, psis)
+    rng = np.random.default_rng(4)
+    x = np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
+    return n, moduli, basis, fs, x
+
+
+def test_fourstep_roundtrip(setup):
+    n, moduli, basis, fs, x = setup
+    fwd = fs.ntt(jnp.asarray(x), implementation="xla")
+    back = np.asarray(fs.intt(fwd, implementation="xla"))
+    assert (back == x).all()
+
+
+def test_fourstep_matches_core_ntt(setup):
+    """kernel order → std order permutation must land exactly on core/ntt.py."""
+    n, moduli, basis, fs, x = setup
+    fwd = np.asarray(fs.ntt(jnp.asarray(x), implementation="xla"))
+    std = np.asarray(basis.ntt(jnp.asarray(x)))
+    remapped = fwd[:, fs.perm_to_std]
+    assert (remapped == std).all()
+
+
+def test_fourstep_batched(setup):
+    n, moduli, basis, fs, x = setup
+    xb = np.stack([x, (x + 1) % np.asarray(moduli, np.uint64)[:, None]])
+    fwd = fs.ntt(jnp.asarray(xb), implementation="xla")
+    back = np.asarray(fs.intt(fwd, implementation="xla"))
+    assert (back == xb).all()
+
+
+def test_pallas_interpret_matches_xla(setup):
+    """Pallas kernel in interpreter mode == the XLA fallback bit-for-bit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, moduli, basis, fs, x = setup
+    with pltpu.force_tpu_interpret_mode():
+        fwd_p = np.asarray(fs.ntt(jnp.asarray(x), implementation="pallas"))
+    fwd_x = np.asarray(fs.ntt(jnp.asarray(x), implementation="xla"))
+    assert (fwd_p == fwd_x).all()
+    with pltpu.force_tpu_interpret_mode():
+        back_p = np.asarray(fs.intt(jnp.asarray(fwd_x), implementation="pallas"))
+    assert (back_p == x).all()
