@@ -61,6 +61,8 @@ class FourStepTables:
     ct1: tuple
     ct2: tuple
     q_pair: tuple         # scalars (qlo, qhi) as () arrays
+    # u64 twins (value, shoup) of every table, for the XLA/shard_map path
+    u64: dict = None
 
     @staticmethod
     def build(n: int, q: int, psi: int) -> "FourStepTables":
@@ -68,8 +70,12 @@ class FourStepTables:
         n2 = n // n1
         omega = pow(psi, 2, q)
 
-        def pairs(vals64: np.ndarray):
+        u64_tabs = {}
+
+        def pairs(vals64: np.ndarray, name: str = None):
             sh = _shoup_np(vals64, q)
+            if name:
+                u64_tabs[name] = (vals64.astype(np.uint64), sh)
             vlo, vhi = _split_np(vals64.astype(np.uint64))
             slo, shi = _split_np(sh)
             return (vlo, vhi, slo, shi)
@@ -80,7 +86,7 @@ class FourStepTables:
         for i in range(n):
             psi_pows[i] = acc
             acc = acc * psi % q
-        twist = pairs(psi_pows.reshape(n1, n2))
+        twist = pairs(psi_pows.reshape(n1, n2), "twist")
         ipsi = primes.mod_inverse(psi, q)
         ninv = primes.mod_inverse(n, q)
         ipows = np.zeros(n, np.uint64)
@@ -88,7 +94,7 @@ class FourStepTables:
         for i in range(n):
             ipows[i] = acc
             acc = acc * ipsi % q
-        itwist = pairs(ipows.reshape(n1, n2))
+        itwist = pairs(ipows.reshape(n1, n2), "itwist")
 
         rev1 = bit_reverse_indices(n1)
         tw = np.zeros((n1, n2), np.uint64)
@@ -104,8 +110,8 @@ class FourStepTables:
                 itw[r, j2] = iacc
                 acc = acc * base % q
                 iacc = iacc * ibase % q
-        twiddle = pairs(tw)
-        itwiddle = pairs(itw)
+        twiddle = pairs(tw, "twiddle")
+        itwiddle = pairs(itw, "itwiddle")
 
         def stage_tables(m: int, root: int):
             """Flat concat over stages t = m/2, m/4, …, 1 of w[j]=root^{j·m/(2t)}."""
@@ -125,15 +131,15 @@ class FourStepTables:
 
         om1 = pow(omega, n2, q)   # primitive n1-th root
         om2 = pow(omega, n1, q)   # primitive n2-th root
-        gs1 = pairs(stage_tables(n1, om1))
-        gs2 = pairs(stage_tables(n2, om2))
-        ct1 = pairs(stage_tables(n1, primes.mod_inverse(om1, q)))
-        ct2 = pairs(stage_tables(n2, primes.mod_inverse(om2, q)))
+        gs1 = pairs(stage_tables(n1, om1), "gs1")
+        gs2 = pairs(stage_tables(n2, om2), "gs2")
+        ct1 = pairs(stage_tables(n1, primes.mod_inverse(om1, q)), "ct1")
+        ct2 = pairs(stage_tables(n2, primes.mod_inverse(om2, q)), "ct2")
         qlo, qhi = np.uint32(q & 0xFFFFFFFF), np.uint32(q >> 32)
         return FourStepTables(
             n=n, n1=n1, n2=n2, q=q, twist=twist, itwist=itwist,
             twiddle=twiddle, itwiddle=itwiddle, gs1=gs1, gs2=gs2,
-            ct1=ct1, ct2=ct2, q_pair=(qlo, qhi),
+            ct1=ct1, ct2=ct2, q_pair=(qlo, qhi), u64=u64_tabs,
         )
 
 
