@@ -91,16 +91,17 @@ class NttBasis:
             ninv[i, 0] = nv
             ninv_sh[i, 0] = primes.shoup_precompute(nv, q)
 
-        import jax.numpy as jnp
-
-        as_dev = lambda x: jnp.asarray(x, dtype=U64)
-        self.psi_rev = as_dev(psi_rev)
-        self.psi_rev_shoup = as_dev(psi_rev_sh)
-        self.ipsi_rev = as_dev(ipsi_rev)
-        self.ipsi_rev_shoup = as_dev(ipsi_rev_sh)
-        self.ninv = as_dev(ninv)
-        self.ninv_shoup = as_dev(ninv_sh)
-        self.q_vec = as_dev(np.array(self.moduli, np.uint64).reshape(L, 1))
+        # Host numpy tables: they enter jitted graphs as embedded constants,
+        # never as committed device arrays — so a context built outside any
+        # device scope works for both CPU-prep and TPU-timed paths without
+        # cross-device transfers (and lazily-built slices are trace-safe).
+        self.psi_rev = psi_rev
+        self.psi_rev_shoup = psi_rev_sh
+        self.ipsi_rev = ipsi_rev
+        self.ipsi_rev_shoup = ipsi_rev_sh
+        self.ninv = ninv
+        self.ninv_shoup = ninv_sh
+        self.q_vec = np.array(self.moduli, np.uint64).reshape(L, 1)
 
     # ---- transforms -------------------------------------------------------
 
