@@ -1,0 +1,66 @@
+"""Full FL lifecycle end-to-end (run.sh equivalent, SURVEY.md §3.1):
+init phase + rounds with real local training, encryption, PRE, aggregation,
+decryption and warm start — on a tiny ring + synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ppqsflhe_tpu.orchestration import Orchestrator, OrchestratorConfig
+
+
+def synth_csv(path, hours=200, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range("2024-07-01", periods=hours, freq="h")
+    vals = 100 + 20 * np.sin(2 * np.pi * ts.hour.values / 24) + rng.normal(0, 2, hours)
+    pd.DataFrame({"Timestamp": ts.strftime("%d-%m-%Y %H:%M"), "Data": vals}).to_csv(
+        path, index=False)
+    return path
+
+
+@pytest.mark.parametrize("comm_mode", ["local", "http"])
+def test_two_round_fl_run(tmp_path, comm_mode):
+    csvs = [synth_csv(str(tmp_path / f"c{i}.csv"), seed=i) for i in (1, 2)]
+    client_cfgs = [
+        {
+            "client_id": f"client_{i+1}",
+            "data_file": csvs[i],
+            "train_end_date": "2024-07-08 23:00:00",
+            "test_start_date": "2024-07-09 00:00:00",
+            "lookback": 12,
+            "epochs": 2,
+        }
+        for i in range(2)
+    ]
+    cfg = OrchestratorConfig(
+        rounds=2, n_clients=2, work_dir=str(tmp_path / "run"),
+        comm_mode=comm_mode,
+        cc_config={"ring_dim": 128, "batch_size": 32, "multiplicative_depth": 2},
+        client_configs=client_cfgs, train=True, seed=5,
+    )
+    results = Orchestrator(cfg).run()
+    assert len(results) == 2
+    # both clients got a decrypted aggregate; aggregates must AGREE
+    decs = []
+    for i in (1, 2):
+        p = str(tmp_path / "run" / f"client_{i}" / "decrypted_weights.json")
+        assert os.path.exists(p)
+        with open(p) as f:
+            decs.append(json.load(f)["weights_summary"])
+    assert len(decs[0]) == 8  # GRU exports 8 tensors
+    for a, b in zip(decs[0], decs[1]):
+        assert a["layer"] == b["layer"] and a["shape"] == b["shape"]
+        np.testing.assert_allclose(a["values"], b["values"], atol=1e-3)
+    # and the aggregate equals the mean of the two exported weight files
+    ws = []
+    for i in (1, 2):
+        with open(str(tmp_path / "run" / f"client_{i}" / "weights.json")) as f:
+            ws.append(json.load(f)["weights_summary"])
+    for k in range(8):
+        want = (np.asarray(ws[0][k]["values"]) + np.asarray(ws[1][k]["values"])) / 2
+        np.testing.assert_allclose(decs[0][k]["values"], want, atol=1e-3)
+    # metrics CSV written
+    assert os.path.exists(str(tmp_path / "run" / "metrics" / "comm_metrics.csv"))
