@@ -380,8 +380,7 @@ def automorphism(ctx: CkksContext, data_eval, g: int):
     n = ctx.params.n
     if g == CONJ_GALOIS:
         g = 2 * n - 1
-    perm = jnp.asarray(_galois_perm(n, g))
-    return jnp.take(data_eval, perm, axis=-1)
+    return jnp.take(data_eval, ctx.galois_perm(g), axis=-1)
 
 
 def rotate(ctx: CkksContext, ct: Ciphertext, r: int, rot_key: KeySwitchKey) -> Ciphertext:

@@ -51,6 +51,13 @@ class CkksParams:
     dnum: int = 2                     # hybrid KS digit count (reference: 2)
     slots: int = 0                    # batch size; 0 → N/2 (reference: 8192)
     sigma: float = 3.19
+    # NTT backend: 'radix2' (stage-unrolled, std bit-reversed eval order) or
+    # 'fourstep' (TPU-shaped factorization, kernel eval order — 2-4x faster
+    # on TPU; see ops/fourstep.py). Orders differ only internally: all
+    # pointwise ops are order-agnostic and Galois permutations are
+    # order-corrected by CkksContext.galois_perm.
+    ntt_backend: str = "radix2"
+    ntt_impl: str = "xla"             # 'xla' | 'pallas' (fourstep only)
 
     @staticmethod
     def generate(
@@ -61,6 +68,8 @@ class CkksParams:
         dnum: int = 2,
         slots: int = 0,
         extra_mod_bits: int = 0,
+        ntt_backend: str = "radix2",
+        ntt_impl: str = "xla",
     ) -> "CkksParams":
         """Build a fresh NTT-friendly chain, OpenFHE-style: one first modulus
         of ``first_mod_bits``, ``mult_depth`` scaling primes of ``scale_bits``
@@ -81,6 +90,7 @@ class CkksParams:
         return CkksParams(
             n=n, q_moduli=tuple(q), p_moduli=tuple(p),
             scale_bits=scale_bits, dnum=dnum, slots=slots or n // 2,
+            ntt_backend=ntt_backend, ntt_impl=ntt_impl,
         )
 
     @staticmethod
@@ -127,6 +137,12 @@ class CkksContext:
             )
             roots = tuple(params.q_roots) + p_roots
         self.basis = NttBasis(params.n, self.moduli_qp, roots)
+        self.fntt = None
+        if params.ntt_backend == "fourstep":
+            from ..ops.pallas_ntt import FourStepNtt
+
+            self.fntt = FourStepNtt(params.n, self.moduli_qp, self.basis.psis)
+        self._galois_cache: Dict[int, np.ndarray] = {}
 
         qp = self.moduli_qp
         self.q_vec = _const_stack(qp)                                   # (L+K, 1)
@@ -161,6 +177,9 @@ class CkksContext:
     # -- NTT on limb subsets ------------------------------------------------
 
     def ntt(self, a, idx: Sequence[int]):
+        if self.fntt is not None:
+            return self.fntt.ntt(a, implementation=self.params.ntt_impl,
+                                 idx=tuple(idx))
         from ..core.ntt import _ntt_impl
 
         sel = np.asarray(idx, dtype=np.int32)
@@ -170,6 +189,9 @@ class CkksContext:
         )
 
     def intt(self, a, idx: Sequence[int]):
+        if self.fntt is not None:
+            return self.fntt.intt(a, implementation=self.params.ntt_impl,
+                                  idx=tuple(idx))
         from ..core.ntt import _intt_impl
 
         sel = np.asarray(idx, dtype=np.int32)
@@ -178,6 +200,20 @@ class CkksContext:
             self.basis.ninv[sel], self.basis.ninv_shoup[sel],
             self.basis.q_vec[sel], self.params.n,
         )
+
+    def galois_perm(self, g: int) -> np.ndarray:
+        """Eval-order permutation for the automorphism X→X^g, corrected for
+        the active NTT backend's eval ordering (new[i] = old[perm[i]])."""
+        if g not in self._galois_cache:
+            from .eval import _galois_perm
+
+            P = _galois_perm(self.params.n, g)
+            if self.fntt is not None:
+                T = self.fntt.perm_to_std
+                Tinv = np.argsort(T)
+                P = T[P[Tinv]]
+            self._galois_cache[g] = P.astype(np.int32)
+        return self._galois_cache[g]
 
     # -- cached precomputes --------------------------------------------------
 

@@ -42,6 +42,8 @@ def params_to_dict(p: CkksParams) -> Dict[str, Any]:
         "dnum": p.dnum,
         "slots": p.slots,
         "sigma": p.sigma,
+        "ntt_backend": p.ntt_backend,
+        "ntt_impl": p.ntt_impl,
     }
 
 
@@ -56,6 +58,8 @@ def params_from_dict(d: Dict[str, Any]) -> CkksParams:
         dnum=d["dnum"],
         slots=d["slots"],
         sigma=d.get("sigma", 3.19),
+        ntt_backend=d.get("ntt_backend", "radix2"),
+        ntt_impl=d.get("ntt_impl", "xla"),
     )
 
 

@@ -88,6 +88,8 @@ def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
             n=n, mult_depth=depth, scale_bits=scale_bits,
             first_mod_bits=int(pick("first_mod_size", default=60)),
             dnum=int(pick("dnum", default=2)), slots=batch,
+            ntt_backend=pick("ntt_backend", default="radix2"),
+            ntt_impl=pick("ntt_impl", default="xla"),
         )
     ser.save_params(params, cc_out)
     return params

@@ -53,11 +53,13 @@ class FourStepTables:
     itwist: tuple         # ψ^{-j} · N^{-1}
     twiddle: tuple        # T[r][j2] = ω^{rev(r)·j2}
     itwiddle: tuple       # ω^{-rev(r)·j2}
-    # stage tables for the size-n1 / n2 column transforms:
-    # GS (forward): per stage t: w[j] = ω_m^{j·m/(2t)}, j<t  → flat (m-1,)
+    # stage tables for the size-n1 / n2 column transforms, in EXPANDED
+    # row-per-stage layout (S, m/2): row s (s=0 ↔ t=m/2, …, s=S-1 ↔ t=1)
+    # holds w_t[j] = root^{j·m/(2t)} tiled g=m/(2t) times — so a kernel
+    # stage reads one full static row and reshapes (g, t, 1), with no
+    # sub-lane slicing (TPU tile constraints).
     gs1: tuple
     gs2: tuple
-    # CT (inverse): per stage t: w[j] = ω_m^{-j·m/(2t)}  → flat (m-1,)
     ct1: tuple
     ct2: tuple
     q_pair: tuple         # scalars (qlo, qhi) as () arrays
@@ -114,19 +116,23 @@ class FourStepTables:
         itwiddle = pairs(itw, "itwiddle")
 
         def stage_tables(m: int, root: int):
-            """Flat concat over stages t = m/2, m/4, …, 1 of w[j]=root^{j·m/(2t)}."""
-            out = np.zeros(m - 1, np.uint64)
-            pos = 0
+            """Expanded (S, m/2): row per stage t = m/2, …, 1; each row is
+            w_t (t entries, w_t[j] = root^{j·m/(2t)}) tiled m/(2t) times."""
+            S = m.bit_length() - 1
+            out = np.zeros((S, m // 2), np.uint64)
             t = m // 2
+            srow = 0
             while t >= 1:
                 stride = m // (2 * t)
                 base = pow(root, stride, q)
+                wt = np.zeros(t, np.uint64)
                 acc = 1
                 for jj in range(t):
-                    out[pos + jj] = acc
+                    wt[jj] = acc
                     acc = acc * base % q
-                pos += t
+                out[srow] = np.tile(wt, m // (2 * t))
                 t //= 2
+                srow += 1
             return out
 
         om1 = pow(omega, n2, q)   # primitive n1-th root
@@ -173,12 +179,12 @@ def _emul(xlo, xhi, tab, qlo, qhi):
 
 def _col_gs(xlo, xhi, stage_tab, qlo, qhi, m: int):
     """GS (DIF) cyclic NTT over the leading axis of an (m, lanes) pair.
-    Natural input → bit-reversed output rows."""
+    Natural input → bit-reversed output rows. stage_tab: (S, m/2) expanded."""
     import jax.numpy as jnp
 
     lanes = xlo.shape[-1]
     tlo, thi, tslo, tshi = stage_tab
-    pos = 0
+    srow = 0
     t = m // 2
     while t >= 1:
         g = m // (2 * t)
@@ -188,12 +194,12 @@ def _col_gs(xlo, xhi, stage_tab, qlo, qhi, m: int):
         vlo, vhi = a_lo[:, 1], a_hi[:, 1]
         slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
         dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)
-        w = (tlo[pos:pos + t].reshape(1, t, 1), thi[pos:pos + t].reshape(1, t, 1),
-             tslo[pos:pos + t].reshape(1, t, 1), tshi[pos:pos + t].reshape(1, t, 1))
+        w = (tlo[srow].reshape(g, t, 1), thi[srow].reshape(g, t, 1),
+             tslo[srow].reshape(g, t, 1), tshi[srow].reshape(g, t, 1))
         dlo, dhi = _emul(dlo, dhi, w, qlo, qhi)
         xlo = jnp.stack([slo, dlo], axis=1).reshape(m, lanes)
         xhi = jnp.stack([shi, dhi], axis=1).reshape(m, lanes)
-        pos += t
+        srow += 1
         t //= 2
     return xlo, xhi
 
@@ -206,24 +212,17 @@ def _col_ct(xlo, xhi, stage_tab, qlo, qhi, m: int):
 
     lanes = xlo.shape[-1]
     tlo, thi, tslo, tshi = stage_tab
-    # tables were laid out t=m/2 … 1; walk segments back-to-front
-    seg_starts = {}
-    pos = 0
-    t = m // 2
-    while t >= 1:
-        seg_starts[t] = pos
-        pos += t
-        t //= 2
+    S = m.bit_length() - 1
     t = 1
     while t < m:
         g = m // (2 * t)
+        srow = S - 1 - (t.bit_length() - 1)   # row s ↔ t = m/2^{s+1}
         a_lo = xlo.reshape(g, 2, t, lanes)
         a_hi = xhi.reshape(g, 2, t, lanes)
         ulo, uhi = a_lo[:, 0], a_hi[:, 0]
         vlo, vhi = a_lo[:, 1], a_hi[:, 1]
-        p = seg_starts[t]
-        w = (tlo[p:p + t].reshape(1, t, 1), thi[p:p + t].reshape(1, t, 1),
-             tslo[p:p + t].reshape(1, t, 1), tshi[p:p + t].reshape(1, t, 1))
+        w = (tlo[srow].reshape(g, t, 1), thi[srow].reshape(g, t, 1),
+             tslo[srow].reshape(g, t, 1), tshi[srow].reshape(g, t, 1))
         vlo, vhi = _emul(vlo, vhi, w, qlo, qhi)
         slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
         dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)

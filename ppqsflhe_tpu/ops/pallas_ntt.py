@@ -50,23 +50,33 @@ class FourStepNtt:
 
     # -- shared body dispatch ----------------------------------------------
 
-    def _run(self, x64, forward: bool, implementation: str):
+    def _run(self, x64, forward: bool, implementation: str, idx=None):
         L = x64.shape[-2]
         lead = x64.shape[:-2]
         x = x64.reshape((-1, L, self.n))
+        sel = list(range(len(self.tabs))) if idx is None else list(idx)
+        assert len(sel) == L, (len(sel), L)
         if implementation == "pallas":
-            out = _pallas_transform(
-                x, self._stacked, self._q, self.n1, self.n2, forward)
+            stacked = self._stacked
+            qpair = self._q
+            if idx is not None:
+                stacked = {
+                    k: tuple(a[sel] for a in v) for k, v in self._stacked.items()
+                }
+                qpair = (self._q[0][sel], self._q[1][sel])
+            out = _pallas_transform(x, stacked, qpair, self.n1, self.n2, forward)
         else:
-            out = _xla_transform(x, self.tabs, self.n1, self.n2, forward)
+            out = _xla_transform(x, [self.tabs[i] for i in sel],
+                                 self.n1, self.n2, forward)
         return out.reshape(lead + (L, self.n))
 
-    def ntt(self, x64, implementation: str = "pallas"):
-        """coeff (natural) → eval (kernel order). u64[..., L, N]."""
-        return self._run(x64, True, implementation)
+    def ntt(self, x64, implementation: str = "pallas", idx=None):
+        """coeff (natural) → eval (kernel order). u64[..., L, N]. ``idx``
+        selects a static limb subset of the precomputed moduli."""
+        return self._run(x64, True, implementation, idx)
 
-    def intt(self, x64, implementation: str = "pallas"):
-        return self._run(x64, False, implementation)
+    def intt(self, x64, implementation: str = "pallas", idx=None):
+        return self._run(x64, False, implementation, idx)
 
 
 # ---------------------------------------------------------------------------
@@ -106,15 +116,13 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
     tab_specs = []
     for name in tab_names:
         for arr in stacked[name]:
+            # elementwise tables are (L, n1, n2); stage tables are the
+            # expanded (L, S, m/2) row-per-stage layout — both 3-D with
+            # TPU-tileable trailing dims.
             tab_arrays.append(jnp.asarray(arr))
-            if arr.ndim == 3:   # (L, n1, n2) elementwise table
-                tab_specs.append(pl.BlockSpec(
-                    (1, arr.shape[1], arr.shape[2]),
-                    lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM))
-            else:               # (L, m-1) stage table
-                tab_specs.append(pl.BlockSpec(
-                    (1, arr.shape[1]), lambda b, l: (l, 0),
-                    memory_space=pltpu.VMEM))
+            tab_specs.append(pl.BlockSpec(
+                (1, arr.shape[1], arr.shape[2]),
+                lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM))
     qlo_arr, qhi_arr = (jnp.asarray(q) for q in qpair)   # (L,1,1)
     qspec = pl.BlockSpec((1, 1, 1), lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM)
 
@@ -126,9 +134,7 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
         for name in tab_names:
             vals = []
             for _ in range(4):
-                r = tab_refs[idx]
-                v = r[...]
-                vals.append(v[0])      # drop limb block dim
+                vals.append(tab_refs[idx][...][0])   # drop limb block dim
                 idx += 1
             tabs[name] = tuple(vals)
         qlo = qlo_ref[0, 0, 0]

@@ -34,42 +34,37 @@ from .fourstep import FourStepTables
 
 def _col_gs64(x, tab_w, tab_sh, q, m: int):
     """GS-DIF cyclic NTT over axis -2 of u64[..., m, lanes] (natural in,
-    bit-reversed out). tab_*: flat (m-1,) stage tables."""
+    bit-reversed out). tab_*: expanded (S, m/2) stage tables."""
     lanes = x.shape[-1]
     lead = x.shape[:-2]
-    pos = 0
+    srow = 0
     t = m // 2
     while t >= 1:
         g = m // (2 * t)
         a = x.reshape(lead + (g, 2, t, lanes))
         u, v = a[..., 0, :, :], a[..., 1, :, :]
         s = modadd(u, v, q)
-        d = shoup_mul(modsub(u, v, q), tab_w[pos:pos + t].reshape(t, 1),
-                      tab_sh[pos:pos + t].reshape(t, 1), q)
+        d = shoup_mul(modsub(u, v, q), tab_w[srow].reshape(g, t, 1),
+                      tab_sh[srow].reshape(g, t, 1), q)
         x = jnp.stack([s, d], axis=-3).reshape(lead + (m, lanes))
-        pos += t
+        srow += 1
         t //= 2
     return x
 
 
 def _col_ct64(x, tab_w, tab_sh, q, m: int):
-    """CT-DIT inverse over axis -2: bit-reversed in → natural out."""
+    """CT-DIT inverse over axis -2: bit-reversed in → natural out.
+    tab_*: expanded (S, m/2); row s ↔ t = m/2^{s+1}."""
     lanes = x.shape[-1]
     lead = x.shape[:-2]
-    seg = {}
-    pos = 0
-    t = m // 2
-    while t >= 1:
-        seg[t] = pos
-        pos += t
-        t //= 2
+    S = m.bit_length() - 1
     t = 1
     while t < m:
         g = m // (2 * t)
+        srow = S - 1 - (t.bit_length() - 1)
         a = x.reshape(lead + (g, 2, t, lanes))
         u, v = a[..., 0, :, :], a[..., 1, :, :]
-        p = seg[t]
-        v = shoup_mul(v, tab_w[p:p + t].reshape(t, 1), tab_sh[p:p + t].reshape(t, 1), q)
+        v = shoup_mul(v, tab_w[srow].reshape(g, t, 1), tab_sh[srow].reshape(g, t, 1), q)
         s = modadd(u, v, q)
         d = modsub(u, v, q)
         x = jnp.stack([s, d], axis=-3).reshape(lead + (m, lanes))
@@ -105,7 +100,7 @@ class ShardedNtt:
         self.t_itwist = stack("itwist")
         self.t_twiddle = stack("twiddle")
         self.t_itwiddle = stack("itwiddle")
-        self.t_gs1 = stack("gs1")              # (L, n1-1)
+        self.t_gs1 = stack("gs1")              # (L, S, n1/2) expanded
         self.t_gs2 = stack("gs2")
         self.t_ct1 = stack("ct1")
         self.t_ct2 = stack("ct2")

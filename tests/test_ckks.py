@@ -192,3 +192,48 @@ def test_sparse_packing(sch, keys):
     ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(54))
     out = sch.decrypt(sk, ct, num=10)
     np.testing.assert_allclose(out, v, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Four-step NTT backend: the full scheme must work identically in the
+# kernel eval order (rotations are order-corrected via ctx.galois_perm).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sch4():
+    from ppqsflhe_tpu.ckks.params import CkksParams
+
+    params = CkksParams.generate(n=256, mult_depth=2, scale_bits=40, dnum=2,
+                                 ntt_backend="fourstep")
+    return CkksScheme(params)
+
+
+def test_fourstep_backend_full_round(sch4):
+    sk1, pk1 = sch4.keygen(jax.random.PRNGKey(60))
+    sk2, pk2 = sch4.keygen(jax.random.PRNGKey(61))
+    rk = sch4.rekey_gen(sk1, pk2, jax.random.PRNGKey(62))
+    v1, v2 = rand_vec(sch4, 60), rand_vec(sch4, 61)
+    ct1 = sch4.encrypt_values(pk1, v1, jax.random.PRNGKey(63))
+    ct2 = sch4.encrypt_values(pk2, v2, jax.random.PRNGKey(64))
+    agg = sch4.mult_scalar(sch4.add(sch4.re_encrypt(ct1, rk), ct2), 0.5)
+    np.testing.assert_allclose(sch4.decrypt(sk2, agg), (v1 + v2) / 2, atol=1e-4)
+
+
+def test_fourstep_backend_rotation(sch4):
+    sk, pk = sch4.keygen(jax.random.PRNGKey(70))
+    rot_keys = sch4.rotation_key_gen(sk, [1, 5], jax.random.PRNGKey(71))
+    v = rand_vec(sch4, 70)
+    ct = sch4.encrypt_values(pk, v, jax.random.PRNGKey(72))
+    for r in (1, 5):
+        out = sch4.decrypt(sk, sch4.rotate(ct, r, rot_keys))
+        np.testing.assert_allclose(out, np.roll(v, -r), atol=1e-4)
+
+
+def test_fourstep_backend_ct_mult(sch4):
+    sk, pk = sch4.keygen(jax.random.PRNGKey(80))
+    rk = sch4.relin_key_gen(sk, jax.random.PRNGKey(81))
+    v1, v2 = rand_vec(sch4, 80), rand_vec(sch4, 81)
+    ct1 = sch4.encrypt_values(pk, v1, jax.random.PRNGKey(82))
+    ct2 = sch4.encrypt_values(pk, v2, jax.random.PRNGKey(83))
+    out = sch4.mult(ct1, ct2, rk)
+    np.testing.assert_allclose(sch4.decrypt(sk, out), v1 * v2, atol=1e-4)
