@@ -14,45 +14,41 @@ host (uploads 17:14:26/28 → aggregate served 17:14:35,
 orchestration/metrics/comm_metrics.csv rows 10-13; BASELINE.md). vs_baseline
 is baseline_ms / our_ms (higher = faster than reference).
 
-Only the timed server round runs on the TPU; key generation, encryption and
-the correctness decrypt run on the in-process CPU backend so the TPU pays
-exactly one (persistently cached) compile.
+Process structure: key generation / encryption (prep) and the correctness
+decrypt (check) each run in a CPU-only subprocess — the TPU process loads
+the prepared arrays and compiles/runs exactly ONE timed graph. (The axon
+PJRT plugin deadlocks CPU-backend compiles in a dual-platform process;
+subprocesses also keep the persistent compile caches per-backend clean.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-os.environ["JAX_PLATFORMS"] = "axon,cpu" if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" else "cpu"
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BASELINE_SERVER_CRYPTO_MS = 8000.0
+BACKEND = os.environ.get("PPQSFLHE_BENCH_BACKEND", "fourstep")
+N = 1 << 14
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _params():
+    from ppqsflhe_tpu.ckks.params import CkksParams
+
+    return CkksParams.generate(n=N, mult_depth=2, scale_bits=40, dnum=2,
+                               ntt_backend=BACKEND)
+
+
+def _payload_vecs(slots):
     import numpy as np
 
-    import ppqsflhe_tpu  # noqa: F401  (enables x64 + compile cache)
-    from ppqsflhe_tpu.ckks import eval as ev
-    from ppqsflhe_tpu.ckks.params import CkksParams
-    from ppqsflhe_tpu.ckks.scheme import CkksScheme
-    from ppqsflhe_tpu.ckks.types import Ciphertext
-
-    cpu = jax.devices("cpu")[0]
-    accel = jax.devices()[0]
-    print(f"[bench] timed device: {accel}; prep device: {cpu}", file=sys.stderr)
-
-    params = CkksParams.generate(n=1 << 14, mult_depth=2, scale_bits=40, dnum=2)
-    sch = CkksScheme(params)
-
-    # Reference workload: the real GRU weight payload if mounted, else synthetic
     ref_w = "/root/reference/client/storage/client_1/private/sample_weights_c1.json"
-    rng = np.random.default_rng(0)
     if os.path.exists(ref_w):
         with open(ref_w) as f:
             entries = json.load(f)["weights_summary"]
@@ -60,43 +56,104 @@ def main() -> None:
         for e in entries:
             vals = np.asarray(e["values"], np.float64)
             vecs += [np.array([e["mean"]]), np.array([e["std_dev"]])]
-            b = sch.encoder.slots
-            for c in range(max(1, -(-vals.size // b))):
-                vecs.append(vals[c * b : (c + 1) * b])
-    else:
-        vecs = [rng.uniform(-1, 1, sch.encoder.slots) for _ in range(27)]
-    B = len(vecs)
-    print(f"[bench] payload: {B} ciphertexts per client", file=sys.stderr)
+            for c in range(max(1, -(-vals.size // slots))):
+                vecs.append(vals[c * slots : (c + 1) * slots])
+        return vecs
+    rng = np.random.default_rng(0)
+    return [rng.uniform(-1, 1, slots) for _ in range(27)]
 
+
+def run_prep(out_path: str) -> None:
+    import jax
+    import numpy as np
+
+    import ppqsflhe_tpu  # noqa: F401
+    from ppqsflhe_tpu.ckks.scheme import CkksScheme
     from ppqsflhe_tpu.fl.api import _encrypt_batch
 
-    t0 = time.time()
-    with jax.default_device(cpu):
-        k0 = jax.random.PRNGKey(7)
-        sk1, pk1 = sch.keygen(jax.random.fold_in(k0, 1))
-        sk2, pk2 = sch.keygen(jax.random.fold_in(k0, 2))
-        rk_1to2 = sch.rekey_gen(sk1, pk2, jax.random.fold_in(k0, 3))
-        rk_2to1 = sch.rekey_gen(sk2, pk1, jax.random.fold_in(k0, 4))
-        cts1 = _encrypt_batch(sch, pk1, vecs, jax.random.fold_in(k0, 5))
-        cts2 = _encrypt_batch(sch, pk2, vecs, jax.random.fold_in(k0, 6))
-        jax.block_until_ready(rk_2to1.data)
-    print(f"[bench] cpu prep (keys+rekeys+encrypt 2x{B}): {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    sch = CkksScheme(_params())
+    vecs = _payload_vecs(sch.encoder.slots)
+    k0 = jax.random.PRNGKey(7)
+    sk1, pk1 = sch.keygen(jax.random.fold_in(k0, 1))
+    sk2, pk2 = sch.keygen(jax.random.fold_in(k0, 2))
+    rk12 = sch.rekey_gen(sk1, pk2, jax.random.fold_in(k0, 3))
+    rk21 = sch.rekey_gen(sk2, pk1, jax.random.fold_in(k0, 4))
+    cts1 = _encrypt_batch(sch, pk1, vecs, jax.random.fold_in(k0, 5))
+    cts2 = _encrypt_batch(sch, pk2, vecs, jax.random.fold_in(k0, 6))
+    np.savez(
+        out_path,
+        stack1=np.stack([np.asarray(c.data) for c in cts1]),
+        stack2=np.stack([np.asarray(c.data) for c in cts2]),
+        rk12=np.asarray(rk12.data), rk21=np.asarray(rk21.data),
+        s2_int=np.asarray(sk2.s_int), scale=np.float64(cts1[0].scale),
+        probe=np.asarray(vecs[2][:16], np.float64),
+    )
 
-    scale = cts1[0].scale
-    put = lambda x: jax.device_put(jnp.asarray(x), accel)
-    stack1 = put(np.stack([np.asarray(c.data) for c in cts1]))
-    stack2 = put(np.stack([np.asarray(c.data) for c in cts2]))
-    rk12 = put(np.asarray(rk_1to2.data))
-    rk21 = put(np.asarray(rk_2to1.data))
+
+def run_check(prep_path: str, agg_path: str) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ppqsflhe_tpu  # noqa: F401
+    from ppqsflhe_tpu.ckks.scheme import CkksScheme
+    from ppqsflhe_tpu.ckks.types import Ciphertext, SecretKey
+    from ppqsflhe_tpu.core import sampling
+
+    sch = CkksScheme(_params())
+    z = np.load(prep_path)
+    a = np.load(agg_path)
+    all_idx = tuple(range(len(sch.ctx.moduli_qp)))
+    s_int = z["s2_int"]
+    coeff = sampling.signed_to_rns(jnp.asarray(s_int, jnp.int32), sch.ctx.moduli_qp)
+    sk2 = SecretKey(s_eval=sch.ctx.ntt(coeff, all_idx), s_int=s_int)
+    got = sch.decrypt(sk2, Ciphertext(jnp.asarray(a["agg2"]), scale=float(z["scale"])),
+                      num=16)
+    err = float(np.abs(np.asarray(got) - z["probe"][: len(got)]).max())
+    print(json.dumps({"err": err}))
+
+
+def main() -> None:
+    if "--prep" in sys.argv:
+        run_prep(sys.argv[sys.argv.index("--prep") + 1])
+        return
+    if "--check" in sys.argv:
+        i = sys.argv.index("--check")
+        run_check(sys.argv[i + 1], sys.argv[i + 2])
+        return
+
+    tmp = tempfile.mkdtemp(prefix="ppqsflhe_bench_")
+    prep_path = os.path.join(tmp, "prep.npz")
+    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    print(f"[bench] backend={BACKEND}; prepping in CPU subprocess…", file=sys.stderr)
+    t0 = time.time()
+    r = subprocess.run([sys.executable, __file__, "--prep", prep_path],
+                       env=cpu_env, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stderr[-2000:], file=sys.stderr)
+        raise SystemExit("prep failed")
+    print(f"[bench] prep done in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ppqsflhe_tpu  # noqa: F401
+    from ppqsflhe_tpu.ckks import eval as ev
+    from ppqsflhe_tpu.ckks.scheme import CkksScheme
+    from ppqsflhe_tpu.ckks.types import Ciphertext, KeySwitchKey
+
+    accel = jax.devices()[0]
+    print(f"[bench] timed device: {accel}", file=sys.stderr)
+    sch = CkksScheme(_params())
+    z = np.load(prep_path)
+    scale = float(z["scale"])
+    put = lambda k: jax.device_put(jnp.asarray(z[k]), accel)
+    stack1, stack2, rk12, rk21 = put("stack1"), put("stack2"), put("rk12"), put("rk21")
 
     def server_round(s1, s2, k12, k21):
-        """PRE(c1→2) + FedAvg + PRE(agg→1), batched over all B cts."""
         from ppqsflhe_tpu.core.modarith import modadd
 
         def re_enc(d, rk):
-            from ppqsflhe_tpu.ckks.types import KeySwitchKey
-
             l = d.shape[1]
             q, _, _ = sch.ctx.limb_consts(sch.ctx.q_idx(l))
             d0, d1 = ev.keyswitch(sch.ctx, d[1], KeySwitchKey(data=rk), l)
@@ -106,8 +163,7 @@ def main() -> None:
             c1in2 = re_enc(d1, k12)
             s = ev.add(sch.ctx, Ciphertext(c1in2, scale), Ciphertext(d2, scale))
             avg = ev.mult_scalar(sch.ctx, s, 0.5)
-            back = re_enc(avg.data, k21)
-            return avg.data, back
+            return avg.data, re_enc(avg.data, k21)
 
         return jax.vmap(agg_pair)(s1, s2)
 
@@ -115,7 +171,8 @@ def main() -> None:
     t0 = time.time()
     agg, agg_in1 = fn(stack1, stack2, rk12, rk21)
     jax.block_until_ready((agg, agg_in1))
-    print(f"[bench] server round compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"[bench] server round compile+first run: {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
     times = []
     for _ in range(3):
@@ -125,11 +182,11 @@ def main() -> None:
         times.append(time.time() - t0)
     ms = float(np.median(times) * 1e3)
 
-    # correctness: decrypt one aggregate ciphertext on CPU ≈ mean of inputs
-    with jax.default_device(cpu):
-        got = sch.decrypt(sk2, Ciphertext(jax.device_put(agg[2], cpu), scale), num=16)
-    want = vecs[2][:16]  # both clients encrypted identical payloads → mean == input
-    err = float(np.abs(np.asarray(got) - want[: len(got)]).max())
+    agg_path = os.path.join(tmp, "agg.npz")
+    np.savez(agg_path, agg2=np.asarray(agg[2]))
+    r = subprocess.run([sys.executable, __file__, "--check", prep_path, agg_path],
+                       env=cpu_env, capture_output=True, text=True)
+    err = json.loads(r.stdout.strip().splitlines()[-1])["err"] if r.returncode == 0 else float("inf")
     ok = err < 1e-3
     print(f"[bench] times={['%.3f' % t for t in times]} correct={ok} err={err:.2e}",
           file=sys.stderr)

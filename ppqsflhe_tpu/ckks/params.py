@@ -116,6 +116,35 @@ class CkksParams:
     def scale(self) -> float:
         return float(2 ** self.scale_bits)
 
+    def security_bits(self) -> int:
+        """Conservative classical security estimate from the HE-standard
+        tables (homomorphicencryption.org v1.1, ternary secret): returns the
+        largest standard level (128/192/256) whose log2(QP) bound admits
+        this parameter set, or 0 if below 128-bit. The reference context
+        uses HEStd_NotSet (slv=0, SURVEY.md §2.3) — ring dim taken as given
+        — so this is a diagnostic, not a gate."""
+        logqp = 0
+        for q in self.q_moduli + self.p_moduli:
+            logqp += int(q).bit_length()
+        # HE-standard max log2(Q) for ternary secrets (classical)
+        table = {
+            1024: (27, 19, 14), 2048: (54, 37, 29), 4096: (109, 75, 58),
+            8192: (218, 152, 118), 16384: (438, 305, 237),
+            32768: (881, 611, 476), 65536: (1772, 1228, 956),
+        }
+        n = self.n
+        key = min((k for k in table if k >= n), default=None)
+        if key is None:
+            return 256  # beyond table: deeply conservative rings
+        b128, b192, b256 = table[key]
+        if logqp <= b256:
+            return 256
+        if logqp <= b192:
+            return 192
+        if logqp <= b128:
+            return 128
+        return 0
+
 
 def _const_stack(vals, fn=lambda x: x):
     # NOTE: returns host numpy (not jnp) so lazily-built precomputes are safe

@@ -82,3 +82,13 @@ def test_root_of_unity_matches_openfhe_convention():
         got = primes.root_of_unity(32768, q)
         assert primes.is_primitive_root_of_unity(got, 32768, q)
         assert got == want, (q, got, want)
+
+
+def test_security_estimate():
+    from ppqsflhe_tpu.ckks.params import CkksParams
+
+    p = CkksParams.generate(n=1 << 14, mult_depth=2, scale_bits=40)
+    # ~160-bit Q + ~120-bit P at N=16384 → comfortably 128-bit classical
+    assert p.security_bits() >= 128
+    tiny = CkksParams.generate(n=256, mult_depth=2, scale_bits=40)
+    assert tiny.security_bits() == 0  # toy ring: no security, as expected
