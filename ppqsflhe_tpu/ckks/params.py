@@ -58,6 +58,11 @@ class CkksParams:
     # order-corrected by CkksContext.galois_perm.
     ntt_backend: str = "radix2"
     ntt_impl: str = "xla"             # 'xla' | 'pallas' (fourstep only)
+    # FLEXIBLEAUTOEXT (the reference's rs=3, SURVEY.md §2.3): the chain ends
+    # with a small extra prime; fresh plaintexts encode at Δ·q_ext and the
+    # extension limb is auto-dropped before the first multiplication, so a
+    # depth-d circuit uses d+2 towers like OpenFHE's.
+    flexible_ext: bool = False
 
     @staticmethod
     def generate(
@@ -77,8 +82,10 @@ class CkksParams:
         m = 2 * n
         q = [primes.first_prime_down(first_mod_bits, m)]
         q += primes.prime_chain(scale_bits, mult_depth, m, avoid=set(q))
+        flexible_ext = False
         if extra_mod_bits:
             q += [primes.next_prime_up(1 << (extra_mod_bits - 1), m)]
+            flexible_ext = True
         # Special primes: enough 60-bit primes to cover the largest KS digit.
         alpha = -(-len(q) // dnum)
         digit_bits = max(
@@ -91,6 +98,7 @@ class CkksParams:
             n=n, q_moduli=tuple(q), p_moduli=tuple(p),
             scale_bits=scale_bits, dnum=dnum, slots=slots or n // 2,
             ntt_backend=ntt_backend, ntt_impl=ntt_impl,
+            flexible_ext=flexible_ext,
         )
 
     @staticmethod

@@ -41,9 +41,13 @@ class CkksScheme:
     def make_plaintext(self, values, nlimbs: int | None = None,
                        scale: float | None = None) -> Plaintext:
         """Real vector → eval-domain plaintext over the first `nlimbs` Q limbs
-        (MakeCKKSPackedPlaintext, encryptModelWeights.cpp:82)."""
+        (MakeCKKSPackedPlaintext, encryptModelWeights.cpp:82). Under
+        FLEXIBLEAUTOEXT, fresh full-level plaintexts encode at Δ·q_ext."""
         l = nlimbs or self.params.num_q
-        scale = scale or self.params.scale
+        if scale is None:
+            scale = self.params.scale
+            if self.params.flexible_ext and l == self.params.num_q:
+                scale *= float(self.params.q_moduli[-1])
         coeffs = self.encoder.encode(values, scale)
         moduli = [self.ctx.moduli_qp[i] for i in range(l)]
         rns = jnp.asarray(self.encoder.to_rns(coeffs, moduli))
@@ -124,6 +128,12 @@ class CkksScheme:
         )(sk.s_eval, ct)
         return rlwe.decode_coeffs(self.ctx, coeffs, ct, self.encoder, num)
 
+    def _maybe_drop_ext(self, ct):
+        """FLEXIBLEAUTOEXT: drop the extension limb before any mult."""
+        if self.params.flexible_ext and ct.nlimbs == self.params.num_q:
+            return self.rescale(ct)
+        return ct
+
     # -- homomorphic ops ----------------------------------------------------
 
     def add(self, ct1, ct2):
@@ -136,6 +146,8 @@ class CkksScheme:
         return self._jit("add_plain", lambda: lambda a, p: ev.add_plain(self.ctx, a, p))(ct, pt)
 
     def mult_plain(self, ct, pt, rescale_after=True):
+        ct = self._maybe_drop_ext(ct)
+
         def mk():
             def f(a, p):
                 out = ev.mult_plain(self.ctx, a, p)
@@ -144,12 +156,15 @@ class CkksScheme:
         return self._jit(("mult_plain", rescale_after), mk)(ct, pt)
 
     def mult_scalar(self, ct, c: float, rescale_after=True):
+        ct = self._maybe_drop_ext(ct)
         return self._jit(
             ("mult_scalar", float(c), rescale_after),
             lambda: lambda a: ev.mult_scalar(self.ctx, a, c, rescale_after),
         )(ct)
 
     def mult(self, ct1, ct2, relin_key, rescale_after=True):
+        ct1 = self._maybe_drop_ext(ct1)
+        ct2 = self._maybe_drop_ext(ct2)
         return self._jit(
             ("mult", rescale_after),
             lambda: lambda a, b, rk: ev.mult(self.ctx, a, b, rk, rescale_after),

@@ -44,6 +44,7 @@ def params_to_dict(p: CkksParams) -> Dict[str, Any]:
         "sigma": p.sigma,
         "ntt_backend": p.ntt_backend,
         "ntt_impl": p.ntt_impl,
+        "flexible_ext": p.flexible_ext,
     }
 
 
@@ -60,6 +61,7 @@ def params_from_dict(d: Dict[str, Any]) -> CkksParams:
         sigma=d.get("sigma", 3.19),
         ntt_backend=d.get("ntt_backend", "radix2"),
         ntt_impl=d.get("ntt_impl", "xla"),
+        flexible_ext=d.get("flexible_ext", False),
     )
 
 

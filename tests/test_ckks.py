@@ -237,3 +237,49 @@ def test_fourstep_backend_ct_mult(sch4):
     ct2 = sch4.encrypt_values(pk, v2, jax.random.PRNGKey(83))
     out = sch4.mult(ct1, ct2, rk)
     np.testing.assert_allclose(sch4.decrypt(sk, out), v1 * v2, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# FLEXIBLEAUTOEXT (the reference's rs=3 scaling technique)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sch_ext():
+    params = CkksParams.generate(n=256, mult_depth=2, scale_bits=40, dnum=2,
+                                 extra_mod_bits=20)
+    assert params.flexible_ext and params.num_q == 4
+    return CkksScheme(params)
+
+
+def test_flexext_fresh_roundtrip(sch_ext):
+    sk, pk = sch_ext.keygen(jax.random.PRNGKey(90))
+    v = rand_vec(sch_ext, 90)
+    ct = sch_ext.encrypt_values(pk, v, jax.random.PRNGKey(91))
+    assert ct.nlimbs == 4 and ct.scale > 2.0**55  # Δ·q_ext
+    np.testing.assert_allclose(sch_ext.decrypt(sk, ct), v, atol=1e-6)
+
+
+def test_flexext_depth2(sch_ext):
+    """4-tower chain supports depth 2 like OpenFHE FLEXIBLEAUTOEXT: the ext
+    limb is auto-dropped before the first mult."""
+    sk, pk = sch_ext.keygen(jax.random.PRNGKey(92))
+    rk = sch_ext.relin_key_gen(sk, jax.random.PRNGKey(93))
+    v1, v2 = rand_vec(sch_ext, 92), rand_vec(sch_ext, 93)
+    ct1 = sch_ext.encrypt_values(pk, v1, jax.random.PRNGKey(94))
+    ct2 = sch_ext.encrypt_values(pk, v2, jax.random.PRNGKey(95))
+    prod = sch_ext.mult(ct1, ct2, rk)       # auto-drops ext, then mult+rescale
+    assert prod.nlimbs == 2
+    out = sch_ext.mult_scalar(prod, 0.25)   # second level
+    assert out.nlimbs == 1
+    np.testing.assert_allclose(sch_ext.decrypt(sk, out), v1 * v2 * 0.25, atol=1e-3)
+
+
+def test_flexext_fedavg(sch_ext):
+    """add works at the extension level; EvalMult(·,0.5) drops it."""
+    sk, pk = sch_ext.keygen(jax.random.PRNGKey(96))
+    v1, v2 = rand_vec(sch_ext, 96), rand_vec(sch_ext, 97)
+    ct1 = sch_ext.encrypt_values(pk, v1, jax.random.PRNGKey(97))
+    ct2 = sch_ext.encrypt_values(pk, v2, jax.random.PRNGKey(98))
+    avg = sch_ext.mult_scalar(sch_ext.add(ct1, ct2), 0.5)
+    assert avg.nlimbs == 2
+    np.testing.assert_allclose(sch_ext.decrypt(sk, avg), (v1 + v2) / 2, atol=1e-5)
