@@ -35,14 +35,16 @@ sys.path.insert(0, REPO)
 
 BASELINE_SERVER_CRYPTO_MS = 8000.0
 BACKEND = os.environ.get("PPQSFLHE_BENCH_BACKEND", "fourstep")
+IMPL = os.environ.get("PPQSFLHE_BENCH_IMPL", "xla")
 N = 1 << 14
 
 
-def _params():
+def _params(impl=None):
     from ppqsflhe_tpu.ckks.params import CkksParams
 
     return CkksParams.generate(n=N, mult_depth=2, scale_bits=40, dnum=2,
-                               ntt_backend=BACKEND)
+                               ntt_backend=BACKEND,
+                               ntt_impl=impl if impl is not None else IMPL)
 
 
 def _payload_vecs(slots):
@@ -71,7 +73,7 @@ def run_prep(out_path: str) -> None:
     from ppqsflhe_tpu.ckks.scheme import CkksScheme
     from ppqsflhe_tpu.fl.api import _encrypt_batch
 
-    sch = CkksScheme(_params())
+    sch = CkksScheme(_params(impl="xla"))   # CPU subprocess: no Mosaic
     vecs = _payload_vecs(sch.encoder.slots)
     k0 = jax.random.PRNGKey(7)
     sk1, pk1 = sch.keygen(jax.random.fold_in(k0, 1))
@@ -99,7 +101,7 @@ def run_check(prep_path: str, agg_path: str) -> None:
     from ppqsflhe_tpu.ckks.types import Ciphertext, SecretKey
     from ppqsflhe_tpu.core import sampling
 
-    sch = CkksScheme(_params())
+    sch = CkksScheme(_params(impl="xla"))   # CPU subprocess: no Mosaic
     z = np.load(prep_path)
     a = np.load(agg_path)
     all_idx = tuple(range(len(sch.ctx.moduli_qp)))
@@ -175,7 +177,7 @@ def main() -> None:
           file=sys.stderr)
 
     times = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.time()
         agg, agg_in1 = fn(stack1, stack2, rk12, rk21)
         jax.block_until_ready((agg, agg_in1))

@@ -89,3 +89,73 @@ def load_context_params(path: str) -> dict:
         if v is not None:
             out[key] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Template-based emission (write-back)
+#
+# Emitting a cereal polymorphic graph from scratch is unverifiable without an
+# OpenFHE binary (none exists in this environment), so emission is
+# TEMPLATE-BASED: take a checked-in artifact with the identical graph
+# structure, substitute the numeric payload, keep every structural field
+# (polymorphic_id, ptr_wrapper ids, class versions) untouched. Verified by
+# structural round-trip: emit(load(x), template=x) == parse(x)
+# (tests/test_interop.py::test_secret_key_emission_roundtrip).
+# ---------------------------------------------------------------------------
+
+
+def save_secret_key(towers: np.ndarray, template_path: str, out_path: str) -> None:
+    """Write an OpenFHE cereal-JSON private key whose secret DCRTPoly carries
+    ``towers`` (u64[L, N], EVALUATION format), using ``template_path`` (a
+    checked-in ``client_*-private.key``) for the surrounding graph.
+
+    The template's modulus chain is kept — ``towers`` must be residues for
+    exactly that chain (reference: keyGen.cpp:41-48 writes SerType::JSON).
+    """
+    with open(template_path) as f:
+        doc = json.load(f)
+    s = _find_first(doc, "s")
+    if s is None or "v" not in s:
+        raise ValueError(f"template {template_path} has no secret poly")
+    if len(s["v"]) != towers.shape[0]:
+        raise ValueError(
+            f"tower count mismatch: template {len(s['v'])} vs {towers.shape[0]}")
+    for i, t in enumerate(s["v"]):
+        data = t["v"]["ptr_wrapper"]["data"]
+        if len(data["v"]) != towers.shape[1]:
+            raise ValueError("ring dimension mismatch with template")
+        data["v"] = [int(x) for x in towers[i]]
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=4)
+
+
+def save_context(params: dict, template_path: str, out_path: str) -> None:
+    """Write an OpenFHE cereal-JSON CryptoContext with scalar parameters
+    substituted into a checked-in CC.json template. Supported keys mirror
+    :func:`load_context_params` (muld/md depth, rs/ks techniques, dnum,
+    batch_size → enp.bs). Structural graph fields are untouched."""
+    with open(template_path) as f:
+        doc = json.load(f)
+
+    def sub_first(node, key, value) -> bool:
+        stack = [node]
+        while stack:
+            cur = stack.pop()
+            if isinstance(cur, dict):
+                if key in cur and not isinstance(cur[key], (dict, list)):
+                    cur[key] = value
+                    return True
+                stack.extend(cur.values())
+            elif isinstance(cur, list):
+                stack.extend(cur)
+        return False
+
+    for key, value in params.items():
+        if key == "batch_size":
+            enp = _find_first(doc, "enp")
+            if enp is not None:
+                sub_first(enp, "bs", int(value))
+        else:
+            sub_first(doc, key, int(value))
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=4)

@@ -123,6 +123,12 @@ class BaseExtender:
         self.dst_r2 = np.array([primes.mont_r2(q) for q in self.dst],
                                np.uint64).reshape(ld, 1)
         self.src_q_f = np.array(self.src, np.float64).reshape(ls, 1)
+        # Q0.64 fixed-point reciprocals round(2^64/d_i) for the integer alpha
+        # estimate (f64 is software-emulated on TPU — it was 85% of extend's
+        # runtime; see extend()).
+        self.recip_fix = np.array(
+            [((1 << 64) + q // 2) // q for q in self.src], np.uint64
+        ).reshape(ls, 1)
 
     def extend(self, x):
         """x: u64[..., ls, N] residues (coeff domain) → u64[..., ld, N]."""
@@ -130,11 +136,23 @@ class BaseExtender:
 
         # y_i = [x_i * dhat_inv_i]_{d_i}
         y = shoup_mul(x, self.dhat_inv, self.dhat_inv_shoup, self.src_q)
-        # alpha ≈ round(sum_i y_i / d_i)  (number of multiples of D to remove)
-        v = jnp.sum(y.astype(jnp.float64) / self.src_q_f, axis=-2, keepdims=True)
-        alpha = jnp.floor(v + 0.5).astype(U64)  # in [0, ls]
-        # z_j = sum_i y_i * [D/d_i]_{p_j} - alpha * [D]_{p_j}  (mod p_j)
+        # alpha ≈ round(sum_i y_i / d_i), the number of multiples of D to
+        # remove. Integer Q0.64 fixed point: frac_i = y_i·round(2^64/d_i)
+        # mod 2^64 (y_i < d_i ⇒ the true product < ~2^64, so the wrapped
+        # low-64 product IS the fraction; per-term error ≤ y_i/2^65 < 2^-5,
+        # within the approximate-extension noise bound exactly like the f64
+        # rounding slip it replaces). Sum with carry counting (ls ≤ 8), then
+        # alpha = carry + round-bit.
+        frac = y * self.recip_fix                       # wrapping u64 mullo
         ls = len(self.src)
+        acc = frac[..., 0:1, :]
+        carry = jnp.zeros_like(acc)
+        for i in range(1, ls):
+            nxt = acc + frac[..., i : i + 1, :]         # wrapping
+            carry = carry + (nxt < acc).astype(U64)
+            acc = nxt
+        alpha = carry + (acc >> jnp.uint64(63))         # + round(frac of acc)
+        # z_j = sum_i y_i * [D/d_i]_{p_j} - alpha * [D]_{p_j}  (mod p_j)
         acc = jnp.zeros(x.shape[:-2] + (len(self.dst), x.shape[-1]), U64)
         for i in range(ls):
             term = modmul(

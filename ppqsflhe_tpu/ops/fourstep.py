@@ -62,6 +62,17 @@ class FourStepTables:
     gs2: tuple
     ct1: tuple
     ct2: tuple
+    # constant-geometry (Pease) stage tables, shape (S, m/2, 1): row s holds
+    # W_s[i] = root^{(i>>s)<<s} (forward) / its inverse-root twin (inverse).
+    # Every Pease stage has IDENTICAL dataflow (split halves → butterfly →
+    # interleave), so a kernel can fori_loop over stages with static shapes —
+    # the fix for the Mosaic compile blow-up of the 14-stage unroll (the
+    # Pease network provably produces the same output order as the in-place
+    # GS-DIF network: butterfly path bits accumulate MSB-first in both).
+    pgs1: tuple
+    pgs2: tuple
+    pct1: tuple
+    pct2: tuple
     q_pair: tuple         # scalars (qlo, qhi) as () arrays
     # u64 twins (value, shoup) of every table, for the XLA/shard_map path
     u64: dict = None
@@ -135,17 +146,35 @@ class FourStepTables:
                 srow += 1
             return out
 
+        def pease_tables(m: int, root: int):
+            """(S, m/2, 1): row s holds W_s[i] = root^{(i>>s)<<s}."""
+            S = m.bit_length() - 1
+            h = m // 2
+            out = np.zeros((S, h, 1), np.uint64)
+            i = np.arange(h)
+            for s in range(S):
+                exps = (i >> s) << s
+                out[s, :, 0] = [pow(root, int(e), q) for e in exps]
+            return out
+
         om1 = pow(omega, n2, q)   # primitive n1-th root
         om2 = pow(omega, n1, q)   # primitive n2-th root
+        iom1 = primes.mod_inverse(om1, q)
+        iom2 = primes.mod_inverse(om2, q)
         gs1 = pairs(stage_tables(n1, om1), "gs1")
         gs2 = pairs(stage_tables(n2, om2), "gs2")
-        ct1 = pairs(stage_tables(n1, primes.mod_inverse(om1, q)), "ct1")
-        ct2 = pairs(stage_tables(n2, primes.mod_inverse(om2, q)), "ct2")
+        ct1 = pairs(stage_tables(n1, iom1), "ct1")
+        ct2 = pairs(stage_tables(n2, iom2), "ct2")
+        pgs1 = pairs(pease_tables(n1, om1), "pgs1")
+        pgs2 = pairs(pease_tables(n2, om2), "pgs2")
+        pct1 = pairs(pease_tables(n1, iom1), "pct1")
+        pct2 = pairs(pease_tables(n2, iom2), "pct2")
         qlo, qhi = np.uint32(q & 0xFFFFFFFF), np.uint32(q >> 32)
         return FourStepTables(
             n=n, n1=n1, n2=n2, q=q, twist=twist, itwist=itwist,
             twiddle=twiddle, itwiddle=itwiddle, gs1=gs1, gs2=gs2,
-            ct1=ct1, ct2=ct2, q_pair=(qlo, qhi), u64=u64_tabs,
+            ct1=ct1, ct2=ct2, pgs1=pgs1, pgs2=pgs2, pct1=pct1, pct2=pct2,
+            q_pair=(qlo, qhi), u64=u64_tabs,
         )
 
 
@@ -229,6 +258,110 @@ def _col_ct(xlo, xhi, stage_tab, qlo, qhi, m: int):
         xlo = jnp.stack([slo, dlo], axis=1).reshape(m, lanes)
         xhi = jnp.stack([shi, dhi], axis=1).reshape(m, lanes)
         t *= 2
+    return xlo, xhi
+
+
+def _row_select(tab4, s, S: int):
+    """Select row ``s`` (traced scalar) of four (S, h, 1) tables via a chain
+    of static-row selects — Mosaic lowers neither dynamic_slice nor unsigned
+    reductions, but a scalar-predicated select of statically-indexed rows is
+    plain VPU code (S−1 selects of an (h, 1) vector: negligible)."""
+    import jax.numpy as jnp
+
+    def pick(t):
+        acc = t[0]
+        for i in range(1, S):
+            acc = jnp.where(s == i, t[i], acc)
+        return acc
+
+    return tuple(pick(t) for t in tab4)
+
+
+def _col_gs_cg(xlo, xhi, tab, qlo, qhi, m: int):
+    """Constant-geometry (Pease) GS-DIF cyclic NTT over axis 0 of an
+    (m, lanes) u32 pair — natural input → bit-reversed output, identical to
+    :func:`_col_gs` but with one static butterfly body fori-looped over the
+    log2(m) stages (Mosaic compiles the body ONCE). Stage s: split halves
+    u = x[:m/2], v = x[m/2:]; sum → even rows, (u−v)·W_s → odd rows."""
+    import jax
+    import jax.numpy as jnp
+
+    h = m // 2
+    lanes = xlo.shape[-1]
+    S = m.bit_length() - 1
+
+    # while_loop with the stage index in the CARRY: using the fori_loop
+    # induction variable in kernel computation trips an infinite-recursion
+    # bug in Pallas tracing (jax 0.8.x); a carried counter does not.
+    def body(c):
+        s, xlo, xhi = c
+        ulo, uhi = xlo[:h], xhi[:h]
+        vlo, vhi = xlo[h:], xhi[h:]
+        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
+        dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)
+        w = _row_select(tab, s, S)
+        dlo, dhi = up.shoup_mul64(dlo, dhi, *w, qlo, qhi)
+        return (s + jnp.int32(1),
+                jnp.stack([slo, dlo], axis=1).reshape(m, lanes),
+                jnp.stack([shi, dhi], axis=1).reshape(m, lanes))
+
+    _, xlo, xhi = jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(S), body, (jnp.int32(0), xlo, xhi))
+    return xlo, xhi
+
+
+def _col_ct_cg(xlo, xhi, tab, qlo, qhi, m: int):
+    """Exact inverse of :func:`_col_gs_cg` run stage-by-stage in reverse,
+    WITHOUT the per-stage 1/2 (accumulates a factor m, cancelled by the
+    N^{-1} folded into itwist — same convention as :func:`_col_ct`).
+    Stage s undo: a = x[0::2], b = x[1::2]·W_s^{-1}; a+b → x[:m/2],
+    a−b → x[m/2:]. tab holds the inverse-root Pease tables (pct*)."""
+    import jax
+    import jax.numpy as jnp
+
+    h = m // 2
+    lanes = xlo.shape[-1]
+    S = m.bit_length() - 1
+
+    def body(c):
+        s, xlo, xhi = c            # s runs S-1 → 0 (undo stages in reverse)
+        r_lo = xlo.reshape(h, 2, lanes)
+        r_hi = xhi.reshape(h, 2, lanes)
+        alo, blo = r_lo[:, 0], r_lo[:, 1]
+        ahi, bhi = r_hi[:, 0], r_hi[:, 1]
+        w = _row_select(tab, s, S)
+        blo, bhi = up.shoup_mul64(blo, bhi, *w, qlo, qhi)
+        ulo, uhi = up.modadd64(alo, ahi, blo, bhi, qlo, qhi)
+        vlo, vhi = up.modsub64(alo, ahi, blo, bhi, qlo, qhi)
+        return (s - jnp.int32(1),
+                jnp.concatenate([ulo, vlo], axis=0),
+                jnp.concatenate([uhi, vhi], axis=0))
+
+    _, xlo, xhi = jax.lax.while_loop(
+        lambda c: c[0] >= jnp.int32(0), body, (jnp.int32(S - 1), xlo, xhi))
+    return xlo, xhi
+
+
+def ntt_body_cg(xlo, xhi, tabs):
+    """Forward four-step body with constant-geometry column transforms.
+    Bit-exact ≡ :func:`ntt_body`; Mosaic-compilable (rolled stage loops)."""
+    qlo, qhi = tabs.q_pair
+    xlo, xhi = _emul(xlo, xhi, tabs.twist, qlo, qhi)
+    xlo, xhi = _col_gs_cg(xlo, xhi, tabs.pgs1, qlo, qhi, tabs.n1)
+    xlo, xhi = _emul(xlo, xhi, tabs.twiddle, qlo, qhi)
+    xlo, xhi = xlo.T, xhi.T
+    xlo, xhi = _col_gs_cg(xlo, xhi, tabs.pgs2, qlo, qhi, tabs.n2)
+    return xlo, xhi
+
+
+def intt_body_cg(xlo, xhi, tabs):
+    """Inverse four-step body, constant-geometry. Bit-exact ≡ intt_body."""
+    qlo, qhi = tabs.q_pair
+    xlo, xhi = _col_ct_cg(xlo, xhi, tabs.pct2, qlo, qhi, tabs.n2)
+    xlo, xhi = xlo.T, xhi.T
+    xlo, xhi = _emul(xlo, xhi, tabs.itwiddle, qlo, qhi)
+    xlo, xhi = _col_ct_cg(xlo, xhi, tabs.pct1, qlo, qhi, tabs.n1)
+    xlo, xhi = _emul(xlo, xhi, tabs.itwist, qlo, qhi)
     return xlo, xhi
 
 

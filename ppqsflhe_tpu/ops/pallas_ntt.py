@@ -21,10 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import u32pair as up
-from .fourstep import FourStepTables, intt_body, kernel_to_std, ntt_body
+from .fourstep import (FourStepTables, intt_body, intt_body_cg,
+                       kernel_to_std, ntt_body, ntt_body_cg)
 
 _ELEM_TABS = ("twist", "itwist", "twiddle", "itwiddle")
-_STAGE_TABS = ("gs1", "gs2", "ct1", "ct2")
+_STAGE_TABS = ("pgs1", "pgs2", "pct1", "pct2")
 
 
 class FourStepNtt:
@@ -110,21 +111,24 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
     xlo = xlo.reshape(B, L, *shape_in)
     xhi = xhi.reshape(B, L, *shape_in)
 
-    tab_names = ("twist", "twiddle", "gs1", "gs2") if forward else (
-        "itwist", "itwiddle", "ct1", "ct2")
+    # Index-map constants MUST be i32: under jax_enable_x64 a python 0 traces
+    # as i64 and Mosaic fails to legalize the index-map func.return.
+    Z = np.int32(0)
+    tab_names = ("twist", "twiddle", "pgs1", "pgs2") if forward else (
+        "itwist", "itwiddle", "pct1", "pct2")
     tab_arrays = []
     tab_specs = []
     for name in tab_names:
         for arr in stacked[name]:
-            # elementwise tables are (L, n1, n2); stage tables are the
-            # expanded (L, S, m/2) row-per-stage layout — both 3-D with
-            # TPU-tileable trailing dims.
+            # elementwise tables are (L, n1, n2) 3-D; Pease stage tables are
+            # (L, S, m/2, 1) 4-D — one block per limb either way.
             tab_arrays.append(jnp.asarray(arr))
-            tab_specs.append(pl.BlockSpec(
-                (1, arr.shape[1], arr.shape[2]),
-                lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM))
+            blk = (1,) + arr.shape[1:]
+            idx_map = (lambda b, l: (l, Z, Z)) if arr.ndim == 3 else (
+                lambda b, l: (l, Z, Z, Z))
+            tab_specs.append(pl.BlockSpec(blk, idx_map, memory_space=pltpu.VMEM))
     qlo_arr, qhi_arr = (jnp.asarray(q) for q in qpair)   # (L,1,1)
-    qspec = pl.BlockSpec((1, 1, 1), lambda b, l: (l, 0, 0), memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 1, 1), lambda b, l: (l, Z, Z), memory_space=pltpu.VMEM)
 
     def kernel(xlo_ref, xhi_ref, *refs):
         tab_refs = refs[:-4]
@@ -142,19 +146,19 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
         lo = xlo_ref[0, 0]
         hi = xhi_ref[0, 0]
         if forward:
-            t = _KTabs(tabs["twist"], tabs["twiddle"], tabs["gs1"], tabs["gs2"],
-                       (qlo, qhi), n1, n2)
-            olo, ohi = ntt_body(lo, hi, t)
+            t = _KTabs(tabs["twist"], tabs["twiddle"], tabs["pgs1"],
+                       tabs["pgs2"], (qlo, qhi), n1, n2)
+            olo, ohi = ntt_body_cg(lo, hi, t)
         else:
-            t = _KTabs(tabs["itwist"], tabs["itwiddle"], tabs["ct1"], tabs["ct2"],
-                       (qlo, qhi), n1, n2, forward=False)
-            olo, ohi = intt_body(lo, hi, t)
+            t = _KTabs(tabs["itwist"], tabs["itwiddle"], tabs["pct1"],
+                       tabs["pct2"], (qlo, qhi), n1, n2, forward=False)
+            olo, ohi = intt_body_cg(lo, hi, t)
         olo_ref[0, 0] = olo
         ohi_ref[0, 0] = ohi
 
-    out_spec = pl.BlockSpec((1, 1, *shape_out), lambda b, l: (b, l, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, *shape_out), lambda b, l: (b, l, Z, Z),
                             memory_space=pltpu.VMEM)
-    in_spec_x = pl.BlockSpec((1, 1, *shape_in), lambda b, l: (b, l, 0, 0),
+    in_spec_x = pl.BlockSpec((1, 1, *shape_in), lambda b, l: (b, l, Z, Z),
                              memory_space=pltpu.VMEM)
 
     olo, ohi = pl.pallas_call(
@@ -176,8 +180,8 @@ class _KTabs:
 
     def __init__(self, twist, twiddle, s1, s2, q_pair, n1, n2, forward=True):
         if forward:
-            self.twist, self.twiddle, self.gs1, self.gs2 = twist, twiddle, s1, s2
+            self.twist, self.twiddle, self.pgs1, self.pgs2 = twist, twiddle, s1, s2
         else:
-            self.itwist, self.itwiddle, self.ct1, self.ct2 = twist, twiddle, s1, s2
+            self.itwist, self.itwiddle, self.pct1, self.pct2 = twist, twiddle, s1, s2
         self.q_pair = q_pair
         self.n1, self.n2 = n1, n2
