@@ -278,15 +278,16 @@ def _row_select(tab4, s, S: int):
 
 
 def _col_gs_cg(xlo, xhi, tab, qlo, qhi, m: int):
-    """Constant-geometry (Pease) GS-DIF cyclic NTT over axis 0 of an
-    (m, lanes) u32 pair — natural input → bit-reversed output, identical to
-    :func:`_col_gs` but with one static butterfly body fori-looped over the
+    """Constant-geometry (Pease) GS-DIF cyclic NTT over axis -2 of a
+    (..., m, lanes) u32 pair — natural input → bit-reversed output, identical
+    to :func:`_col_gs` but with one static butterfly body looped over the
     log2(m) stages (Mosaic compiles the body ONCE). Stage s: split halves
     u = x[:m/2], v = x[m/2:]; sum → even rows, (u−v)·W_s → odd rows."""
     import jax
     import jax.numpy as jnp
 
     h = m // 2
+    lead = xlo.shape[:-2]
     lanes = xlo.shape[-1]
     S = m.bit_length() - 1
 
@@ -295,15 +296,15 @@ def _col_gs_cg(xlo, xhi, tab, qlo, qhi, m: int):
     # bug in Pallas tracing (jax 0.8.x); a carried counter does not.
     def body(c):
         s, xlo, xhi = c
-        ulo, uhi = xlo[:h], xhi[:h]
-        vlo, vhi = xlo[h:], xhi[h:]
+        ulo, uhi = xlo[..., :h, :], xhi[..., :h, :]
+        vlo, vhi = xlo[..., h:, :], xhi[..., h:, :]
         slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
         dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)
         w = _row_select(tab, s, S)
         dlo, dhi = up.shoup_mul64(dlo, dhi, *w, qlo, qhi)
         return (s + jnp.int32(1),
-                jnp.stack([slo, dlo], axis=1).reshape(m, lanes),
-                jnp.stack([shi, dhi], axis=1).reshape(m, lanes))
+                jnp.stack([slo, dlo], axis=-2).reshape(lead + (m, lanes)),
+                jnp.stack([shi, dhi], axis=-2).reshape(lead + (m, lanes)))
 
     _, xlo, xhi = jax.lax.while_loop(
         lambda c: c[0] < jnp.int32(S), body, (jnp.int32(0), xlo, xhi))
@@ -320,22 +321,23 @@ def _col_ct_cg(xlo, xhi, tab, qlo, qhi, m: int):
     import jax.numpy as jnp
 
     h = m // 2
+    lead = xlo.shape[:-2]
     lanes = xlo.shape[-1]
     S = m.bit_length() - 1
 
     def body(c):
         s, xlo, xhi = c            # s runs S-1 → 0 (undo stages in reverse)
-        r_lo = xlo.reshape(h, 2, lanes)
-        r_hi = xhi.reshape(h, 2, lanes)
-        alo, blo = r_lo[:, 0], r_lo[:, 1]
-        ahi, bhi = r_hi[:, 0], r_hi[:, 1]
+        r_lo = xlo.reshape(lead + (h, 2, lanes))
+        r_hi = xhi.reshape(lead + (h, 2, lanes))
+        alo, blo = r_lo[..., 0, :], r_lo[..., 1, :]
+        ahi, bhi = r_hi[..., 0, :], r_hi[..., 1, :]
         w = _row_select(tab, s, S)
         blo, bhi = up.shoup_mul64(blo, bhi, *w, qlo, qhi)
         ulo, uhi = up.modadd64(alo, ahi, blo, bhi, qlo, qhi)
         vlo, vhi = up.modsub64(alo, ahi, blo, bhi, qlo, qhi)
         return (s - jnp.int32(1),
-                jnp.concatenate([ulo, vlo], axis=0),
-                jnp.concatenate([uhi, vhi], axis=0))
+                jnp.concatenate([ulo, vlo], axis=-2),
+                jnp.concatenate([uhi, vhi], axis=-2))
 
     _, xlo, xhi = jax.lax.while_loop(
         lambda c: c[0] >= jnp.int32(0), body, (jnp.int32(S - 1), xlo, xhi))
@@ -344,21 +346,27 @@ def _col_ct_cg(xlo, xhi, tab, qlo, qhi, m: int):
 
 def ntt_body_cg(xlo, xhi, tabs):
     """Forward four-step body with constant-geometry column transforms.
-    Bit-exact ≡ :func:`ntt_body`; Mosaic-compilable (rolled stage loops)."""
+    Bit-exact ≡ :func:`ntt_body`; Mosaic-compilable (rolled stage loops).
+    Accepts leading batch dims: x is (..., n1, n2)."""
+    import jax.numpy as jnp
+
     qlo, qhi = tabs.q_pair
     xlo, xhi = _emul(xlo, xhi, tabs.twist, qlo, qhi)
     xlo, xhi = _col_gs_cg(xlo, xhi, tabs.pgs1, qlo, qhi, tabs.n1)
     xlo, xhi = _emul(xlo, xhi, tabs.twiddle, qlo, qhi)
-    xlo, xhi = xlo.T, xhi.T
+    xlo, xhi = jnp.swapaxes(xlo, -1, -2), jnp.swapaxes(xhi, -1, -2)
     xlo, xhi = _col_gs_cg(xlo, xhi, tabs.pgs2, qlo, qhi, tabs.n2)
     return xlo, xhi
 
 
 def intt_body_cg(xlo, xhi, tabs):
-    """Inverse four-step body, constant-geometry. Bit-exact ≡ intt_body."""
+    """Inverse four-step body, constant-geometry. Bit-exact ≡ intt_body.
+    Accepts leading batch dims: x is (..., n2, n1)."""
+    import jax.numpy as jnp
+
     qlo, qhi = tabs.q_pair
     xlo, xhi = _col_ct_cg(xlo, xhi, tabs.pct2, qlo, qhi, tabs.n2)
-    xlo, xhi = xlo.T, xhi.T
+    xlo, xhi = jnp.swapaxes(xlo, -1, -2), jnp.swapaxes(xhi, -1, -2)
     xlo, xhi = _emul(xlo, xhi, tabs.itwiddle, qlo, qhi)
     xlo, xhi = _col_ct_cg(xlo, xhi, tabs.pct1, qlo, qhi, tabs.n1)
     xlo, xhi = _emul(xlo, xhi, tabs.itwist, qlo, qhi)

@@ -99,7 +99,7 @@ def _xla_transform(x, tabs, n1, n2, forward):  # x: (B, L, N) u64
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _pallas_transform(x, stacked, qpair, n1, n2, forward):
+def _pallas_transform(x, stacked, qpair, n1, n2, forward, bblk: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -110,6 +110,12 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
     shape_out = (n2, n1) if forward else (n1, n2)
     xlo = xlo.reshape(B, L, *shape_in)
     xhi = xhi.reshape(B, L, *shape_in)
+    # bblk batches several polys per kernel instance. Measured on v5e:
+    # bblk=1 is FASTEST (24.2 us/transform vs 28.9 at 4, 32.0 at 8) — bigger
+    # blocks shrink Pallas's cross-grid-step double buffering, which hides
+    # the HBM traffic better than intra-instance batching amortizes control
+    # flow. Kept as a knob; ragged edges are handled by Pallas block padding.
+    bblk = max(1, min(bblk, B))
 
     # Index-map constants MUST be i32: under jax_enable_x64 a python 0 traces
     # as i64 and Mosaic fails to legalize the index-map func.return.
@@ -143,8 +149,8 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
             tabs[name] = tuple(vals)
         qlo = qlo_ref[0, 0, 0]
         qhi = qhi_ref[0, 0, 0]
-        lo = xlo_ref[0, 0]
-        hi = xhi_ref[0, 0]
+        lo = xlo_ref[...][:, 0]                      # (bblk, *shape_in)
+        hi = xhi_ref[...][:, 0]
         if forward:
             t = _KTabs(tabs["twist"], tabs["twiddle"], tabs["pgs1"],
                        tabs["pgs2"], (qlo, qhi), n1, n2)
@@ -153,17 +159,17 @@ def _pallas_transform(x, stacked, qpair, n1, n2, forward):
             t = _KTabs(tabs["itwist"], tabs["itwiddle"], tabs["pct1"],
                        tabs["pct2"], (qlo, qhi), n1, n2, forward=False)
             olo, ohi = intt_body_cg(lo, hi, t)
-        olo_ref[0, 0] = olo
-        ohi_ref[0, 0] = ohi
+        olo_ref[...] = olo[:, None]
+        ohi_ref[...] = ohi[:, None]
 
-    out_spec = pl.BlockSpec((1, 1, *shape_out), lambda b, l: (b, l, Z, Z),
+    out_spec = pl.BlockSpec((bblk, 1, *shape_out), lambda b, l: (b, l, Z, Z),
                             memory_space=pltpu.VMEM)
-    in_spec_x = pl.BlockSpec((1, 1, *shape_in), lambda b, l: (b, l, Z, Z),
+    in_spec_x = pl.BlockSpec((bblk, 1, *shape_in), lambda b, l: (b, l, Z, Z),
                              memory_space=pltpu.VMEM)
 
     olo, ohi = pl.pallas_call(
         kernel,
-        grid=(B, L),
+        grid=(pl.cdiv(B, bblk), L),
         in_specs=[in_spec_x, in_spec_x] + tab_specs + [qspec, qspec],
         out_specs=(out_spec, out_spec),
         out_shape=(
