@@ -48,6 +48,15 @@ class OrchestratorConfig:
     client_configs: List[Dict] = field(default_factory=list)  # CLIENT sections
     seed: int = 1234
     train: bool = True                    # False → clients must provide weights JSONs
+    # Failure handling (beyond the reference's set -e fail-fast,
+    # SURVEY.md §5.3): a client whose train/encrypt/upload step raises is
+    # DROPPED from the round; the server aggregates over the survivors as
+    # long as at least `min_clients` (and the hub, whose key domain hosts
+    # the aggregation) are present. Dropped clients rejoin automatically
+    # next round (they warm-start from their last decrypted global).
+    # fail_fast=True restores reference semantics (first error aborts).
+    fail_fast: bool = False
+    min_clients: int = 1
 
 
 class Orchestrator:
@@ -120,35 +129,60 @@ class Orchestrator:
 
     # -- one round ----------------------------------------------------------
 
+    def _client_round_step(self, r: int, i: int) -> None:
+        """Train + encrypt + upload for one client (the per-client failure
+        domain for dropout handling)."""
+        cfg = self.cfg
+        ccfg = dict(cfg.client_configs[i - 1]) if cfg.client_configs else {}
+        weights = ccfg.get("INPUT_WEIGHTS_PATH") or self._cpath(i, "weights.json")
+        if cfg.train:
+            log(f"client_{i}", "training", f"round {r} local training")
+            from ..train.trainer import train_client
+
+            ccfg.setdefault("client_id", f"client_{i}")
+            ccfg["INPUT_WEIGHTS_PATH"] = weights
+            ccfg.setdefault("OUTPUT_DECRYPTED_WEIGHTS_PATH",
+                            self._cpath(i, "decrypted_weights.json"))
+            train_client(ccfg, seed=cfg.seed + 1000 * r + i, verbose=False)
+        log(f"client_{i}", "encrypt", "encrypting weights")
+        enc = self._cpath(i, f"encrypted_weights_c{i}.json")
+        api.encrypt_weights(self._cpath(i, "CC.json"),
+                            self._cpath(i, f"client_{i}-public.key"),
+                            weights, enc, seed=cfg.seed + 2000 * r + i)
+        self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", enc,
+                                       client_id=f"client_{i}", type_="enc_weights")
+
     def run_round(self, r: int) -> Dict:
         cfg = self.cfg
         hub = self.hub
         t_round = time.time()
-        # 1) local training + encrypt + upload
+        # 1) local training + encrypt + upload; failed clients drop out
+        active: List[int] = []
+        dropped: List[int] = []
         for i in range(1, cfg.n_clients + 1):
-            ccfg = dict(cfg.client_configs[i - 1]) if cfg.client_configs else {}
-            weights = ccfg.get("INPUT_WEIGHTS_PATH") or self._cpath(i, "weights.json")
-            if cfg.train:
-                log(f"client_{i}", "training", f"round {r} local training")
-                from ..train.trainer import train_client
-
-                ccfg.setdefault("client_id", f"client_{i}")
-                ccfg["INPUT_WEIGHTS_PATH"] = weights
-                ccfg.setdefault("OUTPUT_DECRYPTED_WEIGHTS_PATH",
-                                self._cpath(i, "decrypted_weights.json"))
-                train_client(ccfg, seed=cfg.seed + 1000 * r + i, verbose=False)
-            log(f"client_{i}", "encrypt", "encrypting weights")
-            enc = self._cpath(i, f"encrypted_weights_c{i}.json")
-            api.encrypt_weights(self._cpath(i, "CC.json"),
-                                self._cpath(i, f"client_{i}-public.key"),
-                                weights, enc, seed=cfg.seed + 2000 * r + i)
-            self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", enc,
-                                           client_id=f"client_{i}", type_="enc_weights")
+            try:
+                self._client_round_step(r, i)
+                active.append(i)
+            except Exception as e:
+                if cfg.fail_fast:
+                    raise
+                dropped.append(i)
+                log(f"client_{i}", "dropout",
+                    f"round {r}: dropped ({type(e).__name__}: {e}); "
+                    "will rejoin next round")
+        if hub not in active:
+            raise RuntimeError(
+                f"round {r}: hub client_{hub} dropped — the aggregation key "
+                "domain is unavailable (no rekeys into a replacement hub)")
+        if len(active) < max(cfg.min_clients, 1):
+            raise RuntimeError(
+                f"round {r}: only {len(active)} active clients "
+                f"(< min_clients={cfg.min_clients})")
 
         # 2) server: PRE non-hub clients into hub domain
         cc_server = os.path.join(self.server_storage, "CC.json")
         hub_domain_files = []
-        for i in range(1, cfg.n_clients + 1):
+        for i in active:
             src = os.path.join(self.server_storage, f"client_{i}",
                                f"encrypted_weights_c{i}.json")
             if i == hub:
@@ -161,13 +195,14 @@ class Orchestrator:
             api.change_cipher_domain(cc_server, rekey, src, dst)
             hub_domain_files.append(dst)
 
-        # 3) homomorphic FedAvg in the hub domain
-        log("server", "aggregate", f"FedAvg over {cfg.n_clients} clients")
+        # 3) homomorphic FedAvg in the hub domain (over the active subset)
+        log("server", "aggregate",
+            f"FedAvg over {len(active)}/{cfg.n_clients} clients")
         agg = os.path.join(self.server_storage, "aggregated_weights.json")
         api.aggregate_encrypted_weights(cc_server, hub_domain_files, agg)
 
-        # 4) PRE the aggregate back to each non-hub client + distribute
-        for i in range(1, cfg.n_clients + 1):
+        # 4) PRE the aggregate back to each active client + distribute
+        for i in active:
             if i == hub:
                 src_rel = "aggregated_weights.json"
             else:
@@ -186,8 +221,9 @@ class Orchestrator:
                                 self._cpath(i, f"client_{i}-private.key"),
                                 dest, self._cpath(i, "decrypted_weights.json"))
         dt = time.time() - t_round
-        log("orchestrator", "round", f"round {r} complete in {dt:.1f}s")
-        return {"round": r, "seconds": dt}
+        log("orchestrator", "round", f"round {r} complete in {dt:.1f}s "
+            f"({len(active)} active, {len(dropped)} dropped)")
+        return {"round": r, "seconds": dt, "active": active, "dropped": dropped}
 
     # -- full run -----------------------------------------------------------
 

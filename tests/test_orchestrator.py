@@ -64,3 +64,78 @@ def test_two_round_fl_run(tmp_path, comm_mode):
         np.testing.assert_allclose(decs[0][k]["values"], want, atol=1e-3)
     # metrics CSV written
     assert os.path.exists(str(tmp_path / "run" / "metrics" / "comm_metrics.csv"))
+
+
+def test_client_dropout_tolerance(tmp_path):
+    """A client that fails mid-round is dropped; the server aggregates the
+    survivors (here: 3 clients, client_2's weights file is missing), the
+    round completes, and the decrypted aggregate is the mean of the
+    SURVIVING clients' weights (SURVEY.md §5.3 — beyond the reference's
+    set -e fail-fast)."""
+    import numpy as np
+
+    n = 3
+    rng = np.random.default_rng(7)
+    client_cfgs = []
+    for i in range(1, n + 1):
+        w = str(tmp_path / f"w{i}.json")
+        if i != 2:  # client_2 provides NO weights file → its round step raises
+            with open(w, "w") as f:
+                json.dump({"weights_summary": [{
+                    "layer": "dense/kernel",
+                    "shape": [4, 2],
+                    "mean": 0.0, "std_dev": 1.0,
+                    "values": rng.uniform(-1, 1, 8).tolist(),
+                }]}, f)
+        client_cfgs.append({"INPUT_WEIGHTS_PATH": w})
+    cfg = OrchestratorConfig(
+        rounds=1, n_clients=n, work_dir=str(tmp_path / "run"), comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32, "multiplicative_depth": 2},
+        client_configs=client_cfgs, train=False, seed=9,
+    )
+    results = Orchestrator(cfg).run()
+    assert results[0]["active"] == [1, 3]
+    assert results[0]["dropped"] == [2]
+    # survivors got the aggregate; the dropped client did not
+    assert os.path.exists(str(tmp_path / "run" / "client_1" / "decrypted_weights.json"))
+    assert not os.path.exists(str(tmp_path / "run" / "client_2" / "decrypted_weights.json"))
+    with open(str(tmp_path / "run" / "client_1" / "decrypted_weights.json")) as f:
+        got = np.asarray(json.load(f)["weights_summary"][0]["values"])
+    w1 = np.asarray(json.load(open(str(tmp_path / "w1.json")))["weights_summary"][0]["values"])
+    w3 = np.asarray(json.load(open(str(tmp_path / "w3.json")))["weights_summary"][0]["values"])
+    np.testing.assert_allclose(got, (w1 + w3) / 2, atol=1e-3)
+
+
+def test_hub_dropout_aborts_round(tmp_path):
+    """If the HUB client (whose key domain hosts aggregation) drops, the
+    round must fail loudly — no rekeys exist into a replacement hub."""
+    import numpy as np
+
+    n = 2
+    rng = np.random.default_rng(7)
+    w1 = str(tmp_path / "w1.json")
+    with open(w1, "w") as f:
+        json.dump({"weights_summary": [{
+            "layer": "d/k", "shape": [2, 2], "mean": 0.0, "std_dev": 1.0,
+            "values": rng.uniform(-1, 1, 4).tolist()}]}, f)
+    client_cfgs = [{"INPUT_WEIGHTS_PATH": w1},
+                   {"INPUT_WEIGHTS_PATH": str(tmp_path / "missing.json")}]
+    cfg = OrchestratorConfig(
+        rounds=1, n_clients=n, work_dir=str(tmp_path / "run"), comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32, "multiplicative_depth": 2},
+        client_configs=client_cfgs, train=False, seed=9,
+    )
+    with pytest.raises(RuntimeError, match="hub"):
+        Orchestrator(cfg).run()
+
+
+def test_fail_fast_mode_preserves_reference_semantics(tmp_path):
+    cfg = OrchestratorConfig(
+        rounds=1, n_clients=2, work_dir=str(tmp_path / "run"), comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32, "multiplicative_depth": 2},
+        client_configs=[{"INPUT_WEIGHTS_PATH": str(tmp_path / "nope.json")}] * 2,
+        train=False, seed=9, fail_fast=True,
+    )
+    orch = Orchestrator(cfg)
+    with pytest.raises(Exception):
+        orch.run()
