@@ -90,11 +90,14 @@ def mult_scalar(ctx: CkksContext, ct: Ciphertext, c: float, rescale_after: bool 
     """
     l = ct.nlimbs
     idx = ctx.q_idx(l)
-    q, qinv, r2 = ctx.limb_consts(idx)
+    q, _, _ = ctx.limb_consts(idx)
     enc_scale = float(ctx.moduli_qp[l - 1]) if rescale_after else ctx.params.scale
     m = int(round(c * enc_scale))
-    residues = _const_stack([m % ctx.moduli_qp[i] for i in idx])
-    out = ct.with_data(modmul(ct.data, residues[None], q, qinv, r2))
+    res = [m % ctx.moduli_qp[i] for i in idx]
+    residues = _const_stack(res)
+    sh = _const_stack([primes.shoup_precompute(r_, ctx.moduli_qp[i])
+                       for r_, i in zip(res, idx)])
+    out = ct.with_data(shoup_mul(ct.data, residues[None], sh[None], q))
     out = Ciphertext(out.data, scale=ct.scale * enc_scale)
     return rescale(ctx, out) if rescale_after else out
 

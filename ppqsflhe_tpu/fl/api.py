@@ -79,6 +79,13 @@ def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
     batch = int(pick("batch_size", "slots", default=0))
     n = int(pick("ring_dim", default=1 << 14))
     pre_mode = pick("PREMode", "pre_mode", default="INDCPA")
+    # the reference's tested parameter bounds (test/server/src/test_s_CC.cpp:43-65)
+    if not 1 <= depth <= 20:
+        raise ValueError(f"multiplicative_depth {depth} outside [1, 20]")
+    if not 30 < scale_bits < 100:
+        raise ValueError(f"scaling_mod_size {scale_bits} outside (30, 100)")
+    if batch and not 0 < batch <= n // 2:
+        raise ValueError(f"batch_size {batch} outside (0, ring_dim/2={n // 2}]")
     if pre_mode not in ("INDCPA",):
         raise ValueError(f"unsupported PREMode {pre_mode} (reference uses INDCPA)")
     if pick("use_reference_chain", default=False):

@@ -201,18 +201,38 @@ def kernel_to_std(n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _emul(xlo, xhi, tab, qlo, qhi):
-    """Elementwise Shoup multiply by a (value,shoup) table tuple."""
+    """Elementwise Shoup multiply by a (value,shoup) table tuple — strict
+    (result < q; tolerates inputs < 4q since the single conditional
+    subtract lands the lazy [0,2q) residue in [0,q))."""
     wlo, whi, wslo, wshi = tab
     return up.shoup_mul64(xlo, xhi, wlo, whi, wslo, wshi, qlo, qhi)
 
 
+def _emul_lazy(xlo, xhi, tab, qlo, qhi):
+    """Elementwise lazy Shoup multiply: inputs < 4q → outputs < 2q."""
+    wlo, whi, wslo, wshi = tab
+    return up.shoup_mul64_lazy(xlo, xhi, wlo, whi, wslo, wshi, qlo, qhi)
+
+
+def _dbl(qlo, qhi):
+    """2q as a u32 pair (q < 2^63)."""
+    return qlo + qlo, qhi + qhi + (qlo >> 31)
+
+
 def _col_gs(xlo, xhi, stage_tab, qlo, qhi, m: int):
     """GS (DIF) cyclic NTT over the leading axis of an (m, lanes) pair.
-    Natural input → bit-reversed output rows. stage_tab: (S, m/2) expanded."""
+    Natural input → bit-reversed output rows. stage_tab: (S, m/2) expanded.
+
+    Harvey-lazy: the per-stage invariant is x < 2q (sums reduced mod 2q,
+    differences computed as u−v+2q < 4q then lazily Shoup-multiplied back
+    under 2q) — the compare/select corrections of modsub + shoup are
+    skipped in every butterfly. OUTPUT IS IN [0, 2q); callers finish with
+    one csub64 (ntt_body) or a strict _emul (intt_body)."""
     import jax.numpy as jnp
 
     lanes = xlo.shape[-1]
     tlo, thi, tslo, tshi = stage_tab
+    q2lo, q2hi = _dbl(qlo, qhi)
     srow = 0
     t = m // 2
     while t >= 1:
@@ -221,11 +241,11 @@ def _col_gs(xlo, xhi, stage_tab, qlo, qhi, m: int):
         a_hi = xhi.reshape(g, 2, t, lanes)
         ulo, uhi = a_lo[:, 0], a_hi[:, 0]
         vlo, vhi = a_lo[:, 1], a_hi[:, 1]
-        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
-        dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)
+        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, q2lo, q2hi)
+        dlo, dhi = up.lazy_diff64(ulo, uhi, vlo, vhi, q2lo, q2hi)
         w = (tlo[srow].reshape(g, t, 1), thi[srow].reshape(g, t, 1),
              tslo[srow].reshape(g, t, 1), tshi[srow].reshape(g, t, 1))
-        dlo, dhi = _emul(dlo, dhi, w, qlo, qhi)
+        dlo, dhi = _emul_lazy(dlo, dhi, w, qlo, qhi)
         xlo = jnp.stack([slo, dlo], axis=1).reshape(m, lanes)
         xhi = jnp.stack([shi, dhi], axis=1).reshape(m, lanes)
         srow += 1
@@ -236,11 +256,17 @@ def _col_gs(xlo, xhi, stage_tab, qlo, qhi, m: int):
 def _col_ct(xlo, xhi, stage_tab, qlo, qhi, m: int):
     """CT (DIT) inverse cyclic NTT over the leading axis: bit-reversed input
     rows → natural output. Stage tables are the ω^{-1} tables consumed in
-    REVERSE order (t = 1, 2, …, m/2 uses the tail-to-head segments)."""
+    REVERSE order (t = 1, 2, …, m/2 uses the tail-to-head segments).
+
+    Harvey-lazy with invariant x < 2q: v·w is a lazy Shoup product (< 2q),
+    the sum reduces mod 2q, the difference u−vw+2q < 4q gets one csub64 to
+    re-establish < 2q. OUTPUT IS IN [0, 2q); intt_body's final strict
+    _emul (itwist) lands the result in [0, q)."""
     import jax.numpy as jnp
 
     lanes = xlo.shape[-1]
     tlo, thi, tslo, tshi = stage_tab
+    q2lo, q2hi = _dbl(qlo, qhi)
     S = m.bit_length() - 1
     t = 1
     while t < m:
@@ -252,9 +278,10 @@ def _col_ct(xlo, xhi, stage_tab, qlo, qhi, m: int):
         vlo, vhi = a_lo[:, 1], a_hi[:, 1]
         w = (tlo[srow].reshape(g, t, 1), thi[srow].reshape(g, t, 1),
              tslo[srow].reshape(g, t, 1), tshi[srow].reshape(g, t, 1))
-        vlo, vhi = _emul(vlo, vhi, w, qlo, qhi)
-        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
-        dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)
+        vlo, vhi = _emul_lazy(vlo, vhi, w, qlo, qhi)
+        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, q2lo, q2hi)
+        dlo, dhi = up.lazy_diff64(ulo, uhi, vlo, vhi, q2lo, q2hi)
+        dlo, dhi = up.csub64(dlo, dhi, q2lo, q2hi)
         xlo = jnp.stack([slo, dlo], axis=1).reshape(m, lanes)
         xhi = jnp.stack([shi, dhi], axis=1).reshape(m, lanes)
         t *= 2
@@ -290,18 +317,20 @@ def _col_gs_cg(xlo, xhi, tab, qlo, qhi, m: int):
     lead = xlo.shape[:-2]
     lanes = xlo.shape[-1]
     S = m.bit_length() - 1
+    q2lo, q2hi = _dbl(qlo, qhi)
 
     # while_loop with the stage index in the CARRY: using the fori_loop
     # induction variable in kernel computation trips an infinite-recursion
     # bug in Pallas tracing (jax 0.8.x); a carried counter does not.
+    # Harvey-lazy like _col_gs: invariant < 2q, output < 2q.
     def body(c):
         s, xlo, xhi = c
         ulo, uhi = xlo[..., :h, :], xhi[..., :h, :]
         vlo, vhi = xlo[..., h:, :], xhi[..., h:, :]
-        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, qlo, qhi)
-        dlo, dhi = up.modsub64(ulo, uhi, vlo, vhi, qlo, qhi)
+        slo, shi = up.modadd64(ulo, uhi, vlo, vhi, q2lo, q2hi)
+        dlo, dhi = up.lazy_diff64(ulo, uhi, vlo, vhi, q2lo, q2hi)
         w = _row_select(tab, s, S)
-        dlo, dhi = up.shoup_mul64(dlo, dhi, *w, qlo, qhi)
+        dlo, dhi = up.shoup_mul64_lazy(dlo, dhi, *w, qlo, qhi)
         return (s + jnp.int32(1),
                 jnp.stack([slo, dlo], axis=-2).reshape(lead + (m, lanes)),
                 jnp.stack([shi, dhi], axis=-2).reshape(lead + (m, lanes)))
@@ -324,7 +353,9 @@ def _col_ct_cg(xlo, xhi, tab, qlo, qhi, m: int):
     lead = xlo.shape[:-2]
     lanes = xlo.shape[-1]
     S = m.bit_length() - 1
+    q2lo, q2hi = _dbl(qlo, qhi)
 
+    # Harvey-lazy like _col_ct: invariant < 2q, output < 2q.
     def body(c):
         s, xlo, xhi = c            # s runs S-1 → 0 (undo stages in reverse)
         r_lo = xlo.reshape(lead + (h, 2, lanes))
@@ -332,9 +363,10 @@ def _col_ct_cg(xlo, xhi, tab, qlo, qhi, m: int):
         alo, blo = r_lo[..., 0, :], r_lo[..., 1, :]
         ahi, bhi = r_hi[..., 0, :], r_hi[..., 1, :]
         w = _row_select(tab, s, S)
-        blo, bhi = up.shoup_mul64(blo, bhi, *w, qlo, qhi)
-        ulo, uhi = up.modadd64(alo, ahi, blo, bhi, qlo, qhi)
-        vlo, vhi = up.modsub64(alo, ahi, blo, bhi, qlo, qhi)
+        blo, bhi = up.shoup_mul64_lazy(blo, bhi, *w, qlo, qhi)
+        ulo, uhi = up.modadd64(alo, ahi, blo, bhi, q2lo, q2hi)
+        vlo, vhi = up.lazy_diff64(alo, ahi, blo, bhi, q2lo, q2hi)
+        vlo, vhi = up.csub64(vlo, vhi, q2lo, q2hi)
         return (s - jnp.int32(1),
                 jnp.concatenate([ulo, vlo], axis=-2),
                 jnp.concatenate([uhi, vhi], axis=-2))
@@ -346,17 +378,17 @@ def _col_ct_cg(xlo, xhi, tab, qlo, qhi, m: int):
 
 def ntt_body_cg(xlo, xhi, tabs):
     """Forward four-step body with constant-geometry column transforms.
-    Bit-exact ≡ :func:`ntt_body`; Mosaic-compilable (rolled stage loops).
-    Accepts leading batch dims: x is (..., n1, n2)."""
+    Bit-exact ≡ :func:`ntt_body` (Harvey-lazy inside, final csub64);
+    Mosaic-compilable (rolled stage loops). Leading batch dims OK."""
     import jax.numpy as jnp
 
     qlo, qhi = tabs.q_pair
-    xlo, xhi = _emul(xlo, xhi, tabs.twist, qlo, qhi)
+    xlo, xhi = _emul_lazy(xlo, xhi, tabs.twist, qlo, qhi)
     xlo, xhi = _col_gs_cg(xlo, xhi, tabs.pgs1, qlo, qhi, tabs.n1)
-    xlo, xhi = _emul(xlo, xhi, tabs.twiddle, qlo, qhi)
+    xlo, xhi = _emul_lazy(xlo, xhi, tabs.twiddle, qlo, qhi)
     xlo, xhi = jnp.swapaxes(xlo, -1, -2), jnp.swapaxes(xhi, -1, -2)
     xlo, xhi = _col_gs_cg(xlo, xhi, tabs.pgs2, qlo, qhi, tabs.n2)
-    return xlo, xhi
+    return up.csub64(xlo, xhi, qlo, qhi)
 
 
 def intt_body_cg(xlo, xhi, tabs):
@@ -367,29 +399,32 @@ def intt_body_cg(xlo, xhi, tabs):
     qlo, qhi = tabs.q_pair
     xlo, xhi = _col_ct_cg(xlo, xhi, tabs.pct2, qlo, qhi, tabs.n2)
     xlo, xhi = jnp.swapaxes(xlo, -1, -2), jnp.swapaxes(xhi, -1, -2)
-    xlo, xhi = _emul(xlo, xhi, tabs.itwiddle, qlo, qhi)
+    xlo, xhi = _emul_lazy(xlo, xhi, tabs.itwiddle, qlo, qhi)
     xlo, xhi = _col_ct_cg(xlo, xhi, tabs.pct1, qlo, qhi, tabs.n1)
     xlo, xhi = _emul(xlo, xhi, tabs.itwist, qlo, qhi)
     return xlo, xhi
 
 
 def ntt_body(xlo, xhi, tabs: FourStepTables):
-    """Forward negacyclic NTT body. x: (n1, n2) u32 pair → kernel order."""
+    """Forward negacyclic NTT body. x: (n1, n2) u32 pair → kernel order.
+    Internally Harvey-lazy (< 2q between stages); one final csub64 restores
+    exact residues — outputs are bit-identical to the strict version."""
     qlo, qhi = tabs.q_pair
-    xlo, xhi = _emul(xlo, xhi, tabs.twist, qlo, qhi)
+    xlo, xhi = _emul_lazy(xlo, xhi, tabs.twist, qlo, qhi)
     xlo, xhi = _col_gs(xlo, xhi, tabs.gs1, qlo, qhi, tabs.n1)
-    xlo, xhi = _emul(xlo, xhi, tabs.twiddle, qlo, qhi)
+    xlo, xhi = _emul_lazy(xlo, xhi, tabs.twiddle, qlo, qhi)
     xlo, xhi = xlo.T, xhi.T
     xlo, xhi = _col_gs(xlo, xhi, tabs.gs2, qlo, qhi, tabs.n2)
-    return xlo, xhi                       # (n2 rows = rev k2, n1 lanes = rev k1)
+    return up.csub64(xlo, xhi, qlo, qhi)  # (n2 rows = rev k2, n1 lanes = rev k1)
 
 
 def intt_body(xlo, xhi, tabs: FourStepTables):
-    """Inverse: kernel-order (n2, n1) → natural-order coefficients (n1, n2)."""
+    """Inverse: kernel-order (n2, n1) → natural-order coefficients (n1, n2).
+    Harvey-lazy internally; the final strict itwist multiply lands < q."""
     qlo, qhi = tabs.q_pair
     xlo, xhi = _col_ct(xlo, xhi, tabs.ct2, qlo, qhi, tabs.n2)
     xlo, xhi = xlo.T, xhi.T
-    xlo, xhi = _emul(xlo, xhi, tabs.itwiddle, qlo, qhi)
+    xlo, xhi = _emul_lazy(xlo, xhi, tabs.itwiddle, qlo, qhi)
     xlo, xhi = _col_ct(xlo, xhi, tabs.ct1, qlo, qhi, tabs.n1)
     xlo, xhi = _emul(xlo, xhi, tabs.itwist, qlo, qhi)
     return xlo, xhi

@@ -122,6 +122,31 @@ def shoup_mul64(alo, ahi, wlo, whi, wslo, wshi, qlo, qhi):
     return jnp.where(over, slo, rlo), jnp.where(over, shi, rhi)
 
 
+def shoup_mul64_lazy(alo, ahi, wlo, whi, wslo, wshi, qlo, qhi):
+    """a·w mod q with result in [0, 2q) — Harvey's lazy variant: skips the
+    final conditional subtract. Valid for a < 4q (the estimate h =
+    ⌊a·w_shoup/2^64⌋ is then off by at most 1 from ⌊a·w/q⌋, so
+    r = a·w − h·q < 2q). Requires q < 2^62."""
+    hlo, hhi = mulhi64(alo, ahi, wslo, wshi)
+    awlo, awhi = mullo64(alo, ahi, wlo, whi)
+    hqlo, hqhi = mullo64(hlo, hhi, qlo, qhi)
+    return sub64(awlo, awhi, hqlo, hqhi)
+
+
+def lazy_diff64(alo, ahi, blo, bhi, q2lo, q2hi):
+    """a − b + 2q (no reduction) — in (0, 4q) for a, b < 2q. Two carries,
+    no compare/select (vs modsub64's compare + select pair)."""
+    tlo, thi = add64(alo, ahi, q2lo, q2hi)
+    return sub64(tlo, thi, blo, bhi)
+
+
+def csub64(alo, ahi, qlo, qhi):
+    """One conditional subtract: a − q if a ≥ q (maps [0,2q) → [0,q))."""
+    over = geq64(alo, ahi, qlo, qhi)
+    dlo, dhi = sub64(alo, ahi, qlo, qhi)
+    return jnp.where(over, dlo, alo), jnp.where(over, dhi, ahi)
+
+
 def modadd64(alo, ahi, blo, bhi, qlo, qhi):
     slo, shi = add64(alo, ahi, blo, bhi)   # < 2q < 2^64: no overflow
     over = geq64(slo, shi, qlo, qhi)

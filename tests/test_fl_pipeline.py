@@ -145,3 +145,27 @@ def test_cli_smoke(env, tmp_path):
     with open(dec) as f:
         doc = json.load(f)
     assert len(doc["weights_summary"]) == 3
+
+
+def test_gen_cc_parameter_bounds(tmp_path):
+    """The reference's tested CC parameter invariants
+    (test/server/src/test_s_CC.cpp:43-65): depth in [1,20], scaling mod
+    size in (30,100), batch in (0, N/2], PREMode in {INDCPA}."""
+    import pytest
+
+    from ppqsflhe_tpu.fl import api
+
+    out = str(tmp_path / "cc.json")
+    good = {"multiplicative_depth": 2, "scaling_mod_size": 40,
+            "batch_size": 32, "ring_dim": 128, "PREMode": "INDCPA"}
+    api.gen_cc(good, out)
+    for bad in (
+        {**good, "multiplicative_depth": 0},
+        {**good, "multiplicative_depth": 21},
+        {**good, "scaling_mod_size": 30},
+        {**good, "scaling_mod_size": 100},
+        {**good, "batch_size": 65},          # > N/2
+        {**good, "PREMode": "INDCCA"},
+    ):
+        with pytest.raises(ValueError):
+            api.gen_cc(bad, out)
