@@ -305,6 +305,11 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
                                 + [ser.ciphertext_from_b64(p["values"][i]) for p in peers])
         layout.append((rec, nv))
 
+    if not stack_groups:
+        raise ValueError(
+            "no layers matched by name AND shape across all clients — "
+            "federated averaging requires every client to train the same "
+            "architecture (aggregateEncryptedWeights.cpp:71-72 semantics)")
     scale = stack_groups[0][0].scale
     big = jnp.stack([jnp.stack([ct.data for ct in grp]) for grp in stack_groups])
     # big: (B, n_clients, 2, l, n) → batched modular sum + single 1/N EvalMult

@@ -88,8 +88,11 @@ def gru_layer(params3, x_seq, return_sequences: bool, hidden: int = HIDDEN):
 
 
 def forward(params: List[jnp.ndarray], x, *, train: bool = False,
-            dropout_rate: float = 0.3, rng=None, hidden: int = HIDDEN):
-    """(B, T, F) → (B,) predictions."""
+            dropout_rate: float = 0.3, rng=None, hidden: int | None = None):
+    """(B, T, F) → (B,) predictions. ``hidden`` is inferred from the
+    recurrent kernel (H, 3H) unless given."""
+    if hidden is None:
+        hidden = params[1].shape[0]
     h = gru_layer(params[0:3], x, True, hidden)
     if train and dropout_rate > 0:
         rng, sub = jax.random.split(rng)

@@ -24,7 +24,11 @@ import numpy as np
 import optax
 
 from . import data as D
-from . import gru
+from . import gru, lstm, mlp
+
+#: selectable model families (cfg key "model"); all share the generic
+#: weights_summary export (param_{idx} records) and the Keras weight layout.
+MODEL_FAMILIES = {"gru": gru, "lstm": lstm, "mlp": mlp}
 
 
 @dataclass
@@ -45,10 +49,10 @@ def calc_metrics(y_true, y_pred, y_mean) -> Dict[str, float]:
     return {"MAE": mae, "RMSE": rmse, "R2": r2, "PMAE": pmae}
 
 
-def _loss_fn(params, x, y, rng, train: bool, l2: float = 0.01):
-    pred = gru.forward(params, x, train=train, rng=rng)
+def _loss_fn(params, x, y, rng, train: bool, mdl=gru, l2: float = 0.01):
+    pred = mdl.forward(params, x, train=train, rng=rng)
     mse = jnp.mean((pred - y) ** 2)
-    reg = l2 * jnp.sum(params[0] ** 2)  # keras l2 on first GRU kernel only
+    reg = l2 * jnp.sum(params[0] ** 2)  # keras l2 on the first kernel only
     return mse + reg, mse
 
 
@@ -56,6 +60,7 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
     """cfg is the CLIENT section of the reference c_config.json (same keys)."""
     client_id = cfg.get("client_id", "client")
     lookback = int(cfg.get("lookback", 72))
+    mdl = MODEL_FAMILIES[cfg.get("model", "gru")]
     ts_tag = datetime.now().strftime("%Y%m%d_%H%M%S")
     log_dir = cfg.get("log_dir")
     if log_dir:
@@ -75,7 +80,12 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
         if verbose:
             print(f"[{client_id}] warm start from {warm}")
     else:
-        params = gru.init_params(jax.random.PRNGKey(seed), n_features)
+        kw = {}
+        if cfg.get("hidden"):
+            kw["hidden"] = int(cfg["hidden"])
+        if mdl is mlp:
+            kw["lookback"] = lookback
+        params = mdl.init_params(jax.random.PRNGKey(seed), n_features, **kw)
         if verbose:
             print(f"[{client_id}] fresh model")
 
@@ -85,13 +95,13 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
     @jax.jit
     def train_step(params, opt_state, x, y, rng):
         (loss, mse), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            params, x, y, rng, True)
+            params, x, y, rng, True, mdl)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, mse
 
     @jax.jit
     def eval_mse(params, x, y):
-        pred = gru.forward(params, x, train=False)
+        pred = mdl.forward(params, x, train=False)
         return jnp.mean((pred - y) ** 2)
 
     batch = int(cfg.get("batch_size", 32))
@@ -129,11 +139,11 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
     def inv(p):
         return tscl.inverse(np.asarray(p).reshape(-1, 1)).flatten()
 
-    pred_tr = inv(gru.forward(params, jnp.asarray(X_tr)))
+    pred_tr = inv(mdl.forward(params, jnp.asarray(X_tr)))
     yt = inv(y_tr)
     metrics = {"train": calc_metrics(yt, pred_tr, yt.mean())}
     if len(X_val):
-        pred_val = inv(gru.forward(params, jnp.asarray(X_val)))
+        pred_val = inv(mdl.forward(params, jnp.asarray(X_val)))
         yv = inv(y_val)
         metrics["val"] = calc_metrics(yv, pred_val, yv.mean())
     if verbose:
@@ -192,6 +202,7 @@ def evaluate_on_test(params, cfg: Dict) -> Dict[str, float]:
     Xt, yt = D.prepare_sequences(test_df, lookback, fs, tscl)
     if not len(Xt):
         return {}
-    pred = tscl.inverse(np.asarray(gru.forward(params, jnp.asarray(Xt))).reshape(-1, 1)).flatten()
+    mdl = MODEL_FAMILIES[cfg.get("model", "gru")]
+    pred = tscl.inverse(np.asarray(mdl.forward(params, jnp.asarray(Xt))).reshape(-1, 1)).flatten()
     truth = tscl.inverse(np.asarray(yt).reshape(-1, 1)).flatten()
     return calc_metrics(truth, pred, truth.mean())

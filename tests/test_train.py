@@ -98,3 +98,28 @@ def test_calc_metrics():
     y = np.array([1.0, 2.0, 3.0])
     m = calc_metrics(y, y, y.mean())
     assert m["MAE"] == 0 and m["RMSE"] == 0 and m["R2"] == 1.0
+
+
+@pytest.mark.parametrize("family", ["lstm", "mlp"])
+def test_model_families_train_and_roundtrip(tmp_path, family):
+    """The trainer is family-generic (cfg "model"): LSTM and MLP train,
+    export weights_summary, and warm-start from it (the FL feedback edge)."""
+    from ppqsflhe_tpu.train import trainer
+
+    csv = synth_csv(str(tmp_path / "d.csv"))
+    w = str(tmp_path / "w.json")
+    cfg = {
+        "client_id": "c1", "data_file": csv, "model": family, "hidden": 8,
+        "train_end_date": "2024-07-08 23:00:00",
+        "test_start_date": "2024-07-09 00:00:00",
+        "lookback": 12, "epochs": 2, "INPUT_WEIGHTS_PATH": w,
+    }
+    res = trainer.train_client(cfg, seed=3, verbose=False)
+    assert os.path.exists(w)
+    assert np.isfinite(res.metrics["train"]["MAE"])
+    # warm start consumes the exported summary for the same family
+    cfg["OUTPUT_DECRYPTED_WEIGHTS_PATH"] = w
+    res2 = trainer.train_client(cfg, seed=4, verbose=False)
+    assert len(res2.params) == len(res.params)
+    tm = trainer.evaluate_on_test(res2.params, cfg)
+    assert np.isfinite(tm["MAE"])
