@@ -1,0 +1,214 @@
+"""Threshold (N-of-N) multiparty CKKS — joint key generation and
+distributed decryption as TPU collectives.
+
+The reference enables OpenFHE's MULTIPARTY feature in its CryptoContext
+(server/src/genCC.cpp:71-76, feature mask 63 = … | MULTIPARTY) but never
+calls the multiparty API: its protocol routes everything through proxy
+re-encryption instead (SURVEY.md §0). This module supplies the capability
+the flag promises, mirroring OpenFHE's multiparty surface
+(MultipartyKeyGen / MultipartyDecryptLead / MultipartyDecryptMain /
+MultipartyDecryptFusion) with an additive N-of-N sharing:
+
+- every party i samples a ternary share s_i; the joint secret is
+  s = Σ_i s_i (never materialized anywhere);
+- a public common random polynomial ``a`` (derived from a shared seed) is
+  fixed first; party i publishes b_i = -a·s_i + e_i; the joint public key
+  is (Σ_i b_i, a) — a valid RLWE key for s;
+- decryption of ct = (c0, c1) is distributed: party i publishes the partial
+  p_i = c1·s_i + e_i^flood (smudging noise for statistical security of the
+  share); the fusion step computes c0 + Σ_i p_i and decodes.
+
+TPU-native mapping: both Σ_i reductions are ``jax.lax.psum`` over the
+``client`` mesh axis (``joint_public_key_sharded`` /
+``partial_decrypt_psum``) — the same collective pattern as the encrypted
+FedAvg in :mod:`ppqsflhe_tpu.ckks.multikey`.
+
+Protocol value for the FL pipeline: clients encrypt under the JOINT key, so
+the server round is pure aggregation — the two PRE key switches of the
+reference's ``changeCipherDomain`` disappear entirely; the price is one
+round of partial decryptions at the end (see
+``orchestration.Orchestrator(protocol="threshold")``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import sampling
+from ..core.modarith import modadd, modneg
+from .params import CkksContext
+from .rlwe import _poly_mul, _signed_to_eval
+from .types import Ciphertext, PublicKey, SecretKey
+
+# Statistical-security smudging: the reference context pins ss=30 statistical
+# security bits (SURVEY.md §2.3). Flooding with uniform noise 2^{ss} times
+# larger than the worst-case decryption noise hides each share's contribution;
+# with Δ=2^40 and fresh-ct noise ≈ 2^{10}, 2^{30+10} erodes the top of the
+# scale — callers trade precision for share privacy via ``smudging_bits``.
+DEFAULT_SMUDGING_BITS = 20
+
+
+def smudging_noise(key, n: int, bits: int) -> jnp.ndarray:
+    """Uniform flooding noise in [-2^bits, 2^bits] (int64 lanes)."""
+    if bits <= 0:
+        return jnp.zeros((n,), jnp.int64)
+    bound = 1 << bits
+    return jax.random.randint(key, (n,), -bound, bound + 1, dtype=jnp.int64)
+
+
+def common_random_poly(ctx: CkksContext, seed: int) -> jax.Array:
+    """The CRS polynomial ``a``: uniform over the full QP basis, eval domain.
+    Deterministic in ``seed`` so every party derives the identical ``a``."""
+    all_idx = tuple(range(len(ctx.moduli_qp)))
+    key = jax.random.PRNGKey(seed & 0x7FFFFFFFFFFFFFFF)
+    return ctx.ntt(sampling.uniform_rns(key, ctx.moduli_qp, ctx.params.n), all_idx)
+
+
+def partial_keygen(ctx: CkksContext, a: jax.Array, rng_key) -> tuple[SecretKey, jax.Array]:
+    """Party i's round-1 message: (secret share s_i, public share
+    b_i = -a·s_i + e_i over QP, eval domain)."""
+    n = ctx.params.n
+    all_idx = tuple(range(len(ctx.moduli_qp)))
+    k_s, k_e = jax.random.split(rng_key)
+    s_int = sampling.ternary(k_s, n)
+    s_eval = _signed_to_eval(ctx, s_int, all_idx)
+    e = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e, n, ctx.params.sigma), all_idx)
+    q = ctx.q_vec
+    b_i = modadd(modneg(_poly_mul(ctx, a, s_eval, all_idx), q), e, q)
+    return SecretKey(s_eval=s_eval, s_int=np.asarray(s_int, np.int8)), b_i
+
+
+def joint_public_key(ctx: CkksContext, a: jax.Array, b_shares: Sequence[jax.Array]) -> PublicKey:
+    """Combine public shares: pk = (Σ b_i mod q, a). Host/driver-side
+    reduction (N small); the mesh variant is joint_public_key_sharded."""
+    q = ctx.q_vec
+    b = b_shares[0]
+    for bi in b_shares[1:]:
+        b = modadd(b, bi, q)
+    return PublicKey(data=jnp.stack([b, a]))
+
+
+def partial_decrypt(ctx: CkksContext, sk_share: SecretKey, ct: Ciphertext,
+                    rng_key, smudging_bits: int = DEFAULT_SMUDGING_BITS,
+                    lead: bool = False) -> jax.Array:
+    """Party i's decryption share p_i = c1·s_i + e_i^flood (eval domain,
+    active limbs). ``lead=True`` folds in c0 (OpenFHE's
+    MultipartyDecryptLead vs …Main split) so fusion is a plain Σ.
+
+    Only 2-component ciphertexts are decryptable this way (relinearize
+    before distributing — s² shares would need pairwise interaction)."""
+    if ct.num_components != 2:
+        raise ValueError("threshold decryption requires a 2-component ciphertext")
+    l = ct.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    e = _signed_to_eval(ctx, smudging_noise(rng_key, ctx.params.n, smudging_bits), idx)
+    p = modadd(_poly_mul(ctx, ct.data[1], sk_share.s_eval[:l], idx), e, q)
+    if lead:
+        p = modadd(p, ct.data[0], q)
+    return p
+
+
+def fuse_partial_decryptions(ctx: CkksContext, ct: Ciphertext,
+                             partials: Sequence[jax.Array],
+                             include_c0: bool = True) -> jax.Array:
+    """MultipartyDecryptFusion: coefficient residues of the plaintext
+    polynomial = iNTT(c0 + Σ p_i). Set include_c0=False when one partial was
+    produced with lead=True."""
+    l = ct.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    acc = ct.data[0] if include_c0 else None
+    for p in partials:
+        acc = p if acc is None else modadd(acc, p, q)
+    return ctx.intt(acc, idx)
+
+
+def threshold_decrypt(ctx: CkksContext, ct: Ciphertext,
+                      sk_shares: Sequence[SecretKey], rng_key, encoder,
+                      num: int | None = None,
+                      smudging_bits: int = DEFAULT_SMUDGING_BITS):
+    """Reference-free convenience: run all parties' partial decryptions and
+    fuse (for tests / single-host simulation of the N-party protocol)."""
+    from .rlwe import decode_coeffs
+
+    keys = jax.random.split(rng_key, len(sk_shares))
+    partials = [
+        partial_decrypt(ctx, sk, ct, k, smudging_bits)
+        for sk, k in zip(sk_shares, keys)
+    ]
+    coeffs = fuse_partial_decryptions(ctx, ct, partials)
+    return decode_coeffs(ctx, coeffs, ct, encoder, num)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded variants (client axis collectives)
+# ---------------------------------------------------------------------------
+
+def _psum_mod(x, q, axis_name: str):
+    """Modular psum (shared shape with multikey._psum_mod): raw u64 psum of
+    < 16 shards of residues < 2^60 cannot wrap; fold back into [0, q)."""
+    s = jax.lax.psum(x, axis_name)
+    for shift in (3, 2, 1, 0):
+        step = q * jnp.uint64(1 << shift)
+        s = jnp.where(s >= step, s - step, s)
+    return s
+
+
+def joint_public_key_sharded(ctx: CkksContext, a: jax.Array, b_local,
+                             mesh, axis: str = "client") -> PublicKey:
+    """psum the local b_i shares over the client mesh axis → replicated pk.
+    ``b_local``: (clients_local, L+K, N) per-shard stack of public shares."""
+    from jax.sharding import PartitionSpec as P
+
+    q = ctx.q_vec
+
+    def shard_fn(local):
+        acc = local[0]
+        for i in range(1, local.shape[0]):
+            s = acc + local[i]
+            acc = jnp.where(s >= q, s - q, s)
+        return _psum_mod(acc, q, axis)
+
+    b = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None, None),), out_specs=P(None, None),
+    ))(b_local)
+    return PublicKey(data=jnp.stack([b, a]))
+
+
+def partial_decrypt_psum(ctx: CkksContext, ct: Ciphertext, s_eval_local,
+                         rng_local, mesh, axis: str = "client",
+                         smudging_bits: int = DEFAULT_SMUDGING_BITS):
+    """All parties' partial decryptions + fusion as ONE collective: each
+    shard computes Σ_{local i} c1·s_i + e_i, one modular psum over the
+    client axis, then iNTT. Returns plaintext coefficient residues.
+
+    ``s_eval_local``: (clients_local, L+K, N) secret-share stack per shard;
+    ``rng_local``: (clients_local, 2) uint32 PRNG keys per shard."""
+    from jax.sharding import PartitionSpec as P
+
+    l = ct.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    c1 = ct.data[1]
+
+    def shard_fn(s_stack, keys):
+        acc = None
+        for i in range(s_stack.shape[0]):
+            e = _signed_to_eval(
+                ctx, smudging_noise(keys[i], ctx.params.n, smudging_bits), idx)
+            p = modadd(_poly_mul(ctx, c1, s_stack[i, :l], idx), e, q)
+            acc = p if acc is None else modadd(acc, p, q)
+        return _psum_mod(acc, q, axis)
+
+    psum_p = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)), out_specs=P(None, None),
+    ))(s_eval_local, rng_local)
+    acc = modadd(ct.data[0], psum_p, q)
+    return ctx.intt(acc, idx)

@@ -268,6 +268,154 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
     return enc
 
 
+# ---------------------------------------------------------------------------
+# Threshold multiparty protocol (MULTIPARTY feature — the reference enables
+# the flag, genCC.cpp:71-76, but never implements it; see ckks/threshold.py)
+# ---------------------------------------------------------------------------
+
+def threshold_keygen(cc_path: str, crs_seed: int, priv_share_out: str,
+                     pub_share_out: str, seed: int | None = None) -> None:
+    """Party-side MultipartyKeyGen round 1: derive the CRS polynomial from
+    ``crs_seed``, sample a secret share, write (secret share, public
+    b-share). The secret share uses the standard secret-key format so
+    existing tooling can inspect it."""
+    from ..ckks import threshold as th
+
+    sch = load_scheme(cc_path)
+    a = th.common_random_poly(sch.ctx, crs_seed)
+    sk_i, b_i = th.partial_keygen(sch.ctx, a, _rng(seed))
+    ser.save_json(ser.serialize_secret_key(sk_i), priv_share_out)
+    ser.save_json({
+        "type": "ckks_public_share",
+        "crs_seed": int(crs_seed),
+        "shape": list(b_i.shape),
+        "data": ser._arr_to_b64(b_i),
+    }, pub_share_out)
+
+
+def threshold_combine_pubkey(cc_path: str, crs_seed: int,
+                             pub_share_paths: Sequence[str],
+                             joint_pub_out: str) -> None:
+    """Server-side combine: joint pk = (Σ b_i, a), written in the standard
+    public-key format — ``encrypt_weights`` consumes it unchanged."""
+    from ..ckks import threshold as th
+
+    sch = load_scheme(cc_path)
+    a = th.common_random_poly(sch.ctx, crs_seed)
+    shares = []
+    for p in pub_share_paths:
+        d = ser.load_json(p)
+        if int(d.get("crs_seed", crs_seed)) != int(crs_seed):
+            raise ValueError(f"{p}: public share was generated for a "
+                             "different CRS seed")
+        shares.append(jnp.asarray(ser._b64_to_arr(d["data"], d["shape"])))
+    pk = th.joint_public_key(sch.ctx, a, shares)
+    ser.save_json(ser.serialize_public_key(pk), joint_pub_out)
+
+
+def threshold_partial_decrypt(cc_path: str, priv_share_path: str, enc_in: str,
+                              partial_out: str, seed: int | None = None,
+                              smudging_bits: int | None = None) -> Dict:
+    """Party-side MultipartyDecryptMain over a whole encrypted-weights
+    document: one batched device op computes p_i = c1·s_i + e^flood for
+    every ciphertext field."""
+    from ..ckks import threshold as th
+
+    sch = load_scheme(cc_path)
+    sk = ser.deserialize_secret_key(ser.load_json(priv_share_path), sch.ctx)
+    if smudging_bits is None:
+        smudging_bits = th.DEFAULT_SMUDGING_BITS
+    with open(enc_in) as f:
+        enc = json.load(f)
+    slots, cts = _load_all_cts(enc)
+    stack = jnp.stack([ct.data for ct in cts])          # (B, 2, l, n)
+    scale = cts[0].scale
+    keys = jax.random.split(_rng(seed), len(cts))
+
+    def part_one(d, k):
+        return th.partial_decrypt(sch.ctx, sk, Ciphertext(d, scale=scale), k,
+                                  smudging_bits=smudging_bits)
+
+    parts = np.asarray(jax.device_get(jax.jit(jax.vmap(part_one))(stack, keys)))
+    out = {"type": "ckks_partial_decryptions", "limbs": int(parts.shape[1]),
+           "n": int(parts.shape[2]), "weights_summary": []}
+    i = 0
+    for entry in enc["weights_summary"]:
+        rec = {"layer": entry["layer"], "shape": entry["shape"],
+               "mean": ser._arr_to_b64(parts[i]),
+               "std_dev": ser._arr_to_b64(parts[i + 1]),
+               "values": [ser._arr_to_b64(parts[i + 2 + c])
+                          for c in range(len(entry["values"]))]}
+        i += 2 + len(entry["values"])
+        out["weights_summary"].append(rec)
+    with open(partial_out, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def threshold_fuse_decrypt(cc_path: str, enc_in: str,
+                           partial_paths: Sequence[str], plain_out: str) -> Dict:
+    """MultipartyDecryptFusion over a document: plaintext coefficients =
+    iNTT(c0 + Σ_i p_i) per ciphertext, then decode + pad-trim to ∏shape
+    (same output contract as decrypt_weights)."""
+    sch = load_scheme(cc_path)
+    with open(enc_in) as f:
+        enc = json.load(f)
+    part_docs = []
+    for p in partial_paths:
+        with open(p) as f:
+            part_docs.append(json.load(f))
+
+    slots, cts = _load_all_cts(enc)
+    scale = cts[0].scale
+    l, n = cts[0].data.shape[1], cts[0].data.shape[2]
+    stack = jnp.stack([ct.data for ct in cts])          # (B, 2, l, n)
+
+    def flat_partials(doc):
+        out = []
+        for entry in doc["weights_summary"]:
+            out.append(ser._b64_to_arr(entry["mean"], (l, n)))
+            out.append(ser._b64_to_arr(entry["std_dev"], (l, n)))
+            for s in entry["values"]:
+                out.append(ser._b64_to_arr(s, (l, n)))
+        return np.stack(out)
+
+    parts = jnp.asarray(np.stack([flat_partials(d) for d in part_docs]))  # (P, B, l, n)
+
+    def fuse_one(ct_data, p_stack):
+        from ..ckks import threshold as th
+
+        return th.fuse_partial_decryptions(
+            sch.ctx, Ciphertext(ct_data, scale=scale), list(p_stack))
+
+    coeffs = np.asarray(jax.device_get(
+        jax.jit(jax.vmap(fuse_one, in_axes=(0, 1)))(stack, parts)))  # (B, l, n)
+
+    from ..ckks import rlwe
+
+    out = {"weights_summary": []}
+    i = 0
+    for entry in enc["weights_summary"]:
+        def dec(j, num=None):
+            return rlwe.decode_coeffs(
+                sch.ctx, coeffs[j], Ciphertext(stack[j], scale=scale),
+                sch.encoder, num)
+
+        mean = float(dec(i, num=1)[0])
+        std = float(dec(i + 1, num=1)[0])
+        size = int(np.prod(entry["shape"]))
+        vals = np.concatenate([dec(i + 2 + c) for c in range(len(entry["values"]))])[:size]
+        i += 2 + len(entry["values"])
+        out["weights_summary"].append({
+            "layer": entry["layer"], "shape": entry["shape"],
+            "mean": mean, "std_dev": std,
+            "values": [float(x) for x in vals],
+        })
+    with open(plain_out, "w") as f:
+        json.dump(out, f)
+    return out
+
+
 def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out: str) -> Dict:
     """Homomorphic FedAvg over N clients' encrypted weights, all already in a
     common key domain: per layer matched by name AND shape

@@ -10,6 +10,13 @@ Usage (mirrors the reference binaries' positional contracts, SURVEY.md §2.1):
   python -m ppqsflhe_tpu.fl.cli changeCipherDomain <cc> <rekey> <enc_in> <enc_out>
   python -m ppqsflhe_tpu.fl.cli aggregateEncryptedWeights <cc> <agg_out> <enc_in1> <enc_in2> [...]
   python -m ppqsflhe_tpu.fl.cli train <client_config.json>
+
+Threshold multiparty tools (the MULTIPARTY capability — ckks/threshold.py):
+
+  python -m ppqsflhe_tpu.fl.cli thresholdKeyGen <cc> <crs_seed> <share_out> <bshare_out>
+  python -m ppqsflhe_tpu.fl.cli thresholdCombine <cc> <crs_seed> <joint_pub_out> <bshare1> [...]
+  python -m ppqsflhe_tpu.fl.cli thresholdPartialDecrypt <cc> <share> <enc_in> <partial_out>
+  python -m ppqsflhe_tpu.fl.cli thresholdFuseDecrypt <cc> <enc_in> <plain_out> <partial1> [...]
 """
 
 from __future__ import annotations
@@ -68,6 +75,31 @@ def main(argv=None) -> int:
     s = sub.add_parser("train")
     s.add_argument("config")
 
+    s = sub.add_parser("thresholdKeyGen")
+    s.add_argument("cc")
+    s.add_argument("crs_seed", type=int)
+    s.add_argument("share_out")
+    s.add_argument("bshare_out")
+
+    s = sub.add_parser("thresholdCombine")
+    s.add_argument("cc")
+    s.add_argument("crs_seed", type=int)
+    s.add_argument("joint_pub_out")
+    s.add_argument("bshares", nargs="+")
+
+    s = sub.add_parser("thresholdPartialDecrypt")
+    s.add_argument("cc")
+    s.add_argument("share")
+    s.add_argument("enc_in")
+    s.add_argument("partial_out")
+    s.add_argument("--smudging-bits", type=int, default=None)
+
+    s = sub.add_parser("thresholdFuseDecrypt")
+    s.add_argument("cc")
+    s.add_argument("enc_in")
+    s.add_argument("plain_out")
+    s.add_argument("partials", nargs="+")
+
     args = p.parse_args(argv)
     t0 = time.time()
     if args.cmd == "genCC":
@@ -84,6 +116,19 @@ def main(argv=None) -> int:
         api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out)
     elif args.cmd == "aggregateEncryptedWeights":
         api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out)
+    elif args.cmd == "thresholdKeyGen":
+        api.threshold_keygen(args.cc, args.crs_seed, args.share_out,
+                             args.bshare_out, seed=args.seed)
+    elif args.cmd == "thresholdCombine":
+        api.threshold_combine_pubkey(args.cc, args.crs_seed, args.bshares,
+                                     args.joint_pub_out)
+    elif args.cmd == "thresholdPartialDecrypt":
+        api.threshold_partial_decrypt(args.cc, args.share, args.enc_in,
+                                      args.partial_out, seed=args.seed,
+                                      smudging_bits=args.smudging_bits)
+    elif args.cmd == "thresholdFuseDecrypt":
+        api.threshold_fuse_decrypt(args.cc, args.enc_in, args.partials,
+                                   args.plain_out)
     elif args.cmd == "train":
         from ..train.trainer import train_client
 

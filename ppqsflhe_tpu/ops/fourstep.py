@@ -215,7 +215,13 @@ def _emul_lazy(xlo, xhi, tab, qlo, qhi):
 
 
 def _dbl(qlo, qhi):
-    """2q as a u32 pair (q < 2^63)."""
+    """2q as a u32 pair (q < 2^63). The low-word doubling intentionally
+    wraps mod 2^32; for host numpy scalars compute in Python ints (numpy
+    would emit an overflow RuntimeWarning), for traced values (inside the
+    Pallas kernel) wrapping u32 arithmetic is exact and silent."""
+    if isinstance(qlo, (int, np.integer)):
+        q2 = ((int(qhi) << 32) | int(qlo)) * 2
+        return np.uint32(q2 & 0xFFFFFFFF), np.uint32(q2 >> 32)
     return qlo + qlo, qhi + qhi + (qlo >> 31)
 
 

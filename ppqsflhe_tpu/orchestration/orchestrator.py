@@ -57,6 +57,15 @@ class OrchestratorConfig:
     # fail_fast=True restores reference semantics (first error aborts).
     fail_fast: bool = False
     min_clients: int = 1
+    # Protocol: 'pre' = the reference's proxy-re-encryption dance (hub key
+    # domain, changeCipherDomain in/out — SURVEY.md §3.1); 'threshold' =
+    # N-of-N multiparty CKKS (ckks/threshold.py): clients share a JOINT key,
+    # the server round is pure aggregation (no PRE key switches), and
+    # decryption is distributed (each client publishes a smudged partial;
+    # everyone fuses). The reference's CryptoContext enables the MULTIPARTY
+    # feature flag without using it; this mode is that capability.
+    protocol: str = "pre"                 # 'pre' | 'threshold'
+    smudging_bits: int | None = None      # threshold-mode flooding noise
 
 
 class Orchestrator:
@@ -99,6 +108,10 @@ class Orchestrator:
                 metrics_csv=os.path.join(cfg.work_dir, "metrics", "server_comm_metrics.csv"),
             ).start()
 
+        if cfg.protocol == "threshold":
+            self._init_threshold()
+            return
+
         # distribute CC, generate keys, upload pubkeys
         for i in range(1, cfg.n_clients + 1):
             comm = self._client_comm(i)
@@ -127,6 +140,35 @@ class Orchestrator:
                               seed=cfg.seed + 100 * i + j)
                 comm.post_file(f"/uploadReKeyC{i}", rk, client_id=f"client_{i}", type_="rekey")
 
+    def _init_threshold(self):
+        """Threshold-mode init: distribute CC, every client generates a
+        secret share + public b-share over the shared CRS, server combines
+        the joint public key and redistributes it."""
+        cfg = self.cfg
+        crs_seed = cfg.seed  # public; any agreed value works
+        for i in range(1, cfg.n_clients + 1):
+            comm = self._client_comm(i)
+            cc_i = self._cpath(i, "CC.json")
+            comm.get("/getCC", cc_i, client_id=f"client_{i}", type_="cc")
+            log(f"client_{i}", "thresholdKeyGen", "secret share + public b-share")
+            api.threshold_keygen(cc_i, crs_seed,
+                                 self._cpath(i, f"client_{i}-share.key"),
+                                 self._cpath(i, f"client_{i}-bshare.key"),
+                                 seed=cfg.seed + i)
+            comm.post_file(f"/uploadPubKeyC{i}", self._cpath(i, f"client_{i}-bshare.key"),
+                           client_id=f"client_{i}", type_="pub_share")
+        log("server", "thresholdCombine", "combining joint public key")
+        shares = [os.path.join(self.server_storage, f"client_{i}",
+                               f"client_{i}-bshare.key")
+                  for i in range(1, cfg.n_clients + 1)]
+        joint = os.path.join(self.server_storage, "joint-public.key")
+        api.threshold_combine_pubkey(
+            os.path.join(self.server_storage, "CC.json"), crs_seed, shares, joint)
+        for i in range(1, cfg.n_clients + 1):
+            self._client_comm(i).get("/download/joint-public.key",
+                                     self._cpath(i, "joint-public.key"),
+                                     client_id=f"client_{i}", type_="joint_pubkey")
+
     # -- one round ----------------------------------------------------------
 
     def _client_round_step(self, r: int, i: int) -> None:
@@ -146,8 +188,9 @@ class Orchestrator:
             train_client(ccfg, seed=cfg.seed + 1000 * r + i, verbose=False)
         log(f"client_{i}", "encrypt", "encrypting weights")
         enc = self._cpath(i, f"encrypted_weights_c{i}.json")
-        api.encrypt_weights(self._cpath(i, "CC.json"),
-                            self._cpath(i, f"client_{i}-public.key"),
+        pk = ("joint-public.key" if cfg.protocol == "threshold"
+              else f"client_{i}-public.key")
+        api.encrypt_weights(self._cpath(i, "CC.json"), self._cpath(i, pk),
                             weights, enc, seed=cfg.seed + 2000 * r + i)
         self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", enc,
                                        client_id=f"client_{i}", type_="enc_weights")
@@ -170,7 +213,7 @@ class Orchestrator:
                 log(f"client_{i}", "dropout",
                     f"round {r}: dropped ({type(e).__name__}: {e}); "
                     "will rejoin next round")
-        if hub not in active:
+        if cfg.protocol != "threshold" and hub not in active:
             raise RuntimeError(
                 f"round {r}: hub client_{hub} dropped — the aggregation key "
                 "domain is unavailable (no rekeys into a replacement hub)")
@@ -178,6 +221,8 @@ class Orchestrator:
             raise RuntimeError(
                 f"round {r}: only {len(active)} active clients "
                 f"(< min_clients={cfg.min_clients})")
+        if cfg.protocol == "threshold":
+            return self._finish_round_threshold(r, t_round, active, dropped)
 
         # 2) server: PRE non-hub clients into hub domain
         cc_server = os.path.join(self.server_storage, "CC.json")
@@ -220,6 +265,53 @@ class Orchestrator:
             api.decrypt_weights(self._cpath(i, "CC.json"),
                                 self._cpath(i, f"client_{i}-private.key"),
                                 dest, self._cpath(i, "decrypted_weights.json"))
+        dt = time.time() - t_round
+        log("orchestrator", "round", f"round {r} complete in {dt:.1f}s "
+            f"({len(active)} active, {len(dropped)} dropped)")
+        return {"round": r, "seconds": dt, "active": active, "dropped": dropped}
+
+    def _finish_round_threshold(self, r: int, t_round: float,
+                                active: List[int], dropped: List[int]) -> Dict:
+        """Threshold-mode server half: aggregate under the joint key (no PRE),
+        then one distributed-decryption round. EVERY client (incl. a client
+        that dropped out of training) contributes its partial — N-of-N
+        threshold decryption needs all shares; a share-holder that is truly
+        unreachable stalls the round by construction."""
+        cfg = self.cfg
+        cc_server = os.path.join(self.server_storage, "CC.json")
+        enc_files = [os.path.join(self.server_storage, f"client_{i}",
+                                  f"encrypted_weights_c{i}.json") for i in active]
+        log("server", "aggregate",
+            f"joint-key FedAvg over {len(active)}/{cfg.n_clients} clients (no PRE)")
+        agg = os.path.join(self.server_storage, "aggregated_weights.json")
+        api.aggregate_encrypted_weights(cc_server, enc_files, agg)
+
+        # distributed decryption: every share-holder downloads the aggregate,
+        # publishes a smudged partial; then each client fuses all partials.
+        for i in range(1, cfg.n_clients + 1):
+            dest = self._cpath(i, "aggregated_for_me.json")
+            self._client_comm(i).get("/download/aggregated_weights.json", dest,
+                                     client_id=f"client_{i}", type_="aggregated")
+            log(f"client_{i}", "partialDecrypt", "publishing decryption share")
+            part = self._cpath(i, f"partial_c{i}.json")
+            api.threshold_partial_decrypt(
+                self._cpath(i, "CC.json"), self._cpath(i, f"client_{i}-share.key"),
+                dest, part, seed=cfg.seed + 3000 * r + i,
+                smudging_bits=cfg.smudging_bits)
+            self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", part,
+                                           client_id=f"client_{i}", type_="partial_dec")
+        for i in range(1, cfg.n_clients + 1):
+            comm = self._client_comm(i)
+            parts = []
+            for j in range(1, cfg.n_clients + 1):
+                p = self._cpath(i, f"peer_partial_c{j}.json")
+                comm.get(f"/download/client_{j}/partial_c{j}.json", p,
+                         client_id=f"client_{i}", type_="peer_partial")
+                parts.append(p)
+            log(f"client_{i}", "fuseDecrypt", "fusing decryption shares")
+            api.threshold_fuse_decrypt(
+                self._cpath(i, "CC.json"), self._cpath(i, "aggregated_for_me.json"),
+                parts, self._cpath(i, "decrypted_weights.json"))
         dt = time.time() - t_round
         log("orchestrator", "round", f"round {r} complete in {dt:.1f}s "
             f"({len(active)} active, {len(dropped)} dropped)")

@@ -169,3 +169,47 @@ def test_gen_cc_parameter_bounds(tmp_path):
     ):
         with pytest.raises(ValueError):
             api.gen_cc(bad, out)
+
+
+def test_threshold_cli_tools(env, tmp_path):
+    """The 4 threshold multiparty CLI tools drive a full joint-key round:
+    keygen ×3 → combine → encrypt under joint pk → aggregate →
+    partial decrypt ×3 → fuse. Fused output = mean of the inputs."""
+    from ppqsflhe_tpu.fl.cli import main
+
+    d = str(tmp_path)
+    shares, bshares = [], []
+    for i in range(3):
+        sh, bs = f"{d}/share{i}.key", f"{d}/bshare{i}.key"
+        assert main(["--seed", str(70 + i), "thresholdKeyGen", env["cc"],
+                     "99", sh, bs]) == 0
+        shares.append(sh)
+        bshares.append(bs)
+    joint = f"{d}/joint.key"
+    assert main(["thresholdCombine", env["cc"], "99", joint] + bshares) == 0
+
+    plains, encs = [], []
+    for i in range(3):
+        w = f"{d}/tw{i}.json"
+        plains.append(make_weights(w, 80 + i))
+        e = f"{d}/te{i}.json"
+        assert main(["--seed", str(90 + i), "encryptModelWeights",
+                     env["cc"], joint, w, e]) == 0
+        encs.append(e)
+    agg = f"{d}/tagg.json"
+    api.aggregate_encrypted_weights(env["cc"], encs, agg)
+
+    parts = []
+    for i in range(3):
+        p = f"{d}/part{i}.json"
+        assert main(["--seed", str(100 + i), "thresholdPartialDecrypt",
+                     env["cc"], shares[i], agg, p]) == 0
+        parts.append(p)
+    dec = f"{d}/tdec.json"
+    assert main(["thresholdFuseDecrypt", env["cc"], agg, dec] + parts) == 0
+    with open(dec) as f:
+        doc = json.load(f)
+    for layer in ("param_0", "param_1", "param_2"):
+        want = np.mean([np.asarray([e for e in p if e["layer"] == layer][0]["values"])
+                        for p in plains], axis=0)
+        np.testing.assert_allclose(load_values(doc, layer), want, atol=1e-3)

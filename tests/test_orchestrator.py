@@ -139,3 +139,41 @@ def test_fail_fast_mode_preserves_reference_semantics(tmp_path):
     orch = Orchestrator(cfg)
     with pytest.raises(Exception):
         orch.run()
+
+
+def test_threshold_protocol_round(tmp_path):
+    """protocol='threshold': joint-key FL — no PRE key switches; the server
+    aggregates under the joint key and clients run the distributed
+    decryption (partial decrypt + fusion). The fused aggregate must equal
+    the mean of the clients' weights (within smudging noise)."""
+    n = 3
+    rng = np.random.default_rng(11)
+    client_cfgs = []
+    for i in range(1, n + 1):
+        w = str(tmp_path / f"w{i}.json")
+        with open(w, "w") as f:
+            json.dump({"weights_summary": [{
+                "layer": "dense/kernel", "shape": [4, 2],
+                "mean": 0.0, "std_dev": 1.0,
+                "values": rng.uniform(-1, 1, 8).tolist(),
+            }]}, f)
+        client_cfgs.append({"INPUT_WEIGHTS_PATH": w})
+    cfg = OrchestratorConfig(
+        rounds=1, n_clients=n, work_dir=str(tmp_path / "run"), comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32, "multiplicative_depth": 2},
+        client_configs=client_cfgs, train=False, seed=21,
+        protocol="threshold",
+    )
+    results = Orchestrator(cfg).run()
+    assert results[0]["active"] == [1, 2, 3]
+    # no PRE artifacts in threshold mode
+    assert not os.path.exists(
+        str(tmp_path / "run" / "server_storage" / "c1_domainChange_c3.json"))
+    want = np.mean([np.asarray(json.load(open(str(tmp_path / f"w{i}.json")))
+                               ["weights_summary"][0]["values"])
+                    for i in (1, 2, 3)], axis=0)
+    for i in (1, 2, 3):
+        p = str(tmp_path / "run" / f"client_{i}" / "decrypted_weights.json")
+        assert os.path.exists(p)
+        got = np.asarray(json.load(open(p))["weights_summary"][0]["values"])
+        np.testing.assert_allclose(got, want, atol=1e-3)
