@@ -1,6 +1,6 @@
 """Orchestrator CLI — the run.sh entry point equivalent.
 
-  python -m ppqsflhe_tpu.orchestration.cli <oConfig.json>
+  python -m ppqsflhe_tpu.orchestration.cli <oConfig.json> [--resume]
 
 Config schema (superset of the reference orchestration/oConfig.json):
 {
@@ -23,6 +23,8 @@ from .orchestrator import Orchestrator, OrchestratorConfig
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    resume = "--resume" in argv
+    argv = [a for a in argv if a != "--resume"]
     if not argv:
         print(__doc__)
         return 2
@@ -40,8 +42,9 @@ def main(argv=None) -> int:
         client_configs=cfg.get("CLIENT_CONFIGS", []),
         train=bool(cfg.get("TRAIN", True)),
         seed=int(cfg.get("SEED", 1234)),
+        protocol=cfg.get("PROTOCOL", "pre"),
     )
-    results = Orchestrator(oc).run()
+    results = Orchestrator(oc).run(resume=resume)
     print(json.dumps(results))
     return 0
 

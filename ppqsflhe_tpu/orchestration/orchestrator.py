@@ -95,18 +95,54 @@ class Orchestrator:
 
     # -- init phase ---------------------------------------------------------
 
+    # -- run-state checkpoint (SURVEY.md §5.4 FL-state resume, extended to
+    # the whole orchestration: crypto material and decrypted globals already
+    # persist on disk; this records WHERE in the lifecycle the run is so a
+    # killed orchestrator restarts without regenerating keys or re-running
+    # completed rounds) --------------------------------------------------
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.cfg.work_dir, "orchestrator_state.json")
+
+    def _save_state(self, init_done: bool, completed_rounds: int) -> None:
+        with open(self._state_path, "w") as f:
+            json.dump({
+                "init_done": init_done,
+                "completed_rounds": completed_rounds,
+                "n_clients": self.cfg.n_clients,
+                "protocol": self.cfg.protocol,
+            }, f)
+
+    def _load_state(self) -> Dict | None:
+        if not os.path.exists(self._state_path):
+            return None
+        with open(self._state_path) as f:
+            state = json.load(f)
+        for key in ("n_clients", "protocol"):
+            want = getattr(self.cfg, key)
+            if state.get(key) != want:
+                raise ValueError(
+                    f"resume mismatch: checkpoint has {key}={state.get(key)!r} "
+                    f"but config says {want!r} (start a fresh work_dir)")
+        return state
+
+    def _start_server(self) -> None:
+        if self.cfg.comm_mode == "http" and self.server is None:
+            log("server", "Mserver", "starting artifact server")
+            self.server = ArtifactServer(
+                self.server_storage, self.cfg.host, self.cfg.port,
+                metrics_csv=os.path.join(self.cfg.work_dir, "metrics",
+                                         "server_comm_metrics.csv"),
+            ).start()
+
     def init_phase(self):
         cfg = self.cfg
         log("server", "genCC", "generating crypto context")
         cc_server = os.path.join(self.server_storage, "CC.json")
         api.gen_cc(cfg.cc_config, cc_server)
 
-        if cfg.comm_mode == "http":
-            log("server", "Mserver", "starting artifact server")
-            self.server = ArtifactServer(
-                self.server_storage, cfg.host, cfg.port,
-                metrics_csv=os.path.join(cfg.work_dir, "metrics", "server_comm_metrics.csv"),
-            ).start()
+        self._start_server()
 
         if cfg.protocol == "threshold":
             self._init_threshold()
@@ -319,11 +355,28 @@ class Orchestrator:
 
     # -- full run -----------------------------------------------------------
 
-    def run(self) -> List[Dict]:
+    def run(self, resume: bool = False) -> List[Dict]:
+        """Drive init + rounds. ``resume=True`` picks up a checkpointed run
+        in the same work_dir: init (key material) is skipped if already
+        done and only rounds after the last completed one execute."""
         t0 = time.time()
-        self.init_phase()
-        log("orchestrator", "init", f"init phase complete in {time.time() - t0:.1f}s")
-        results = [self.run_round(r) for r in range(1, self.cfg.rounds + 1)]
+        state = self._load_state() if resume else None
+        if state and state.get("init_done"):
+            self._start_server()
+            first = int(state["completed_rounds"]) + 1
+            log("orchestrator", "resume",
+                f"checkpoint found: init done, {first - 1} rounds complete — "
+                f"resuming at round {first}")
+        else:
+            self.init_phase()
+            self._save_state(init_done=True, completed_rounds=0)
+            log("orchestrator", "init",
+                f"init phase complete in {time.time() - t0:.1f}s")
+            first = 1
+        results = []
+        for r in range(first, self.cfg.rounds + 1):
+            results.append(self.run_round(r))
+            self._save_state(init_done=True, completed_rounds=r)
         if self.server:
             self.server.stop()
         return results

@@ -177,3 +177,37 @@ def test_threshold_protocol_round(tmp_path):
         assert os.path.exists(p)
         got = np.asarray(json.load(open(p))["weights_summary"][0]["values"])
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_checkpoint_resume(tmp_path):
+    """A killed orchestrator resumes from its work_dir checkpoint: init
+    (key material) is not regenerated and completed rounds are not re-run
+    (SURVEY.md §5.4 resume, extended to the orchestration lifecycle)."""
+    rng = np.random.default_rng(3)
+    w = str(tmp_path / "w.json")
+    with open(w, "w") as f:
+        json.dump({"weights_summary": [{
+            "layer": "d/k", "shape": [2, 2], "mean": 0.0, "std_dev": 1.0,
+            "values": rng.uniform(-1, 1, 4).tolist()}]}, f)
+    base = dict(
+        n_clients=2, work_dir=str(tmp_path / "run"), comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32, "multiplicative_depth": 2},
+        client_configs=[{"INPUT_WEIGHTS_PATH": w}] * 2, train=False, seed=4,
+    )
+    r1 = Orchestrator(OrchestratorConfig(rounds=1, **base)).run()
+    assert [x["round"] for x in r1] == [1]
+    key = str(tmp_path / "run" / "client_1" / "client_1-private.key")
+    mtime = os.path.getmtime(key)
+
+    # resume with a larger round budget: only rounds 2..3 run, keys untouched
+    r2 = Orchestrator(OrchestratorConfig(rounds=3, **base)).run(resume=True)
+    assert [x["round"] for x in r2] == [2, 3]
+    assert os.path.getmtime(key) == mtime
+
+    # config mismatch on resume fails loudly
+    import pytest as _pytest
+
+    bad = dict(base, n_clients=3,
+               client_configs=[{"INPUT_WEIGHTS_PATH": w}] * 3)
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        Orchestrator(OrchestratorConfig(rounds=3, **bad)).run(resume=True)
