@@ -63,6 +63,16 @@ class CkksParams:
     # extension limb is auto-dropped before the first multiplication, so a
     # depth-d circuit uses d+2 towers like OpenFHE's.
     flexible_ext: bool = False
+    # PRE security mode (genCC.cpp:55-58 PREMode; tested bounds
+    # test/server/src/test_s_CC.cpp: PREMode ∈ {INDCPA, INDCCA}).
+    # 'INDCPA': ReEncrypt = one key switch (the reference's configured mode).
+    # 'INDCCA': HRA-hardened — every ReEncrypt additionally re-randomizes
+    # with a fresh encryption of zero under the TARGET public key plus
+    # uniform flooding noise (pre_flood_bits), so a re-encrypted ciphertext
+    # is statistically unlinkable to its input even given honest
+    # re-encryption oracle access.
+    pre_mode: str = "INDCPA"
+    pre_flood_bits: int = 20
 
     @staticmethod
     def generate(

@@ -69,6 +69,31 @@ def encrypt(ctx: CkksContext, pk: PublicKey, pt: Plaintext, rng_key) -> Cipherte
     return Ciphertext(data=jnp.stack([c0, c1]), scale=pt.scale)
 
 
+def encrypt_zero(ctx: CkksContext, pk: PublicKey, nlimbs: int, rng_key,
+                 flood_bits: int = 0):
+    """Fresh pk-encryption of zero over the first ``nlimbs`` Q limbs, with
+    optional uniform flooding noise of magnitude 2^flood_bits added to the
+    c0 component. This is the re-randomizer for HRA-secure proxy
+    re-encryption (INDCCA PREMode): ct' = keyswitch(ct) + Enc_pk(0) makes
+    the output statistically independent of the input ciphertext's
+    randomness. Returns raw (2, nlimbs, n) eval-domain data."""
+    n = ctx.params.n
+    idx = ctx.q_idx(nlimbs)
+    q, _, _ = ctx.limb_consts(idx)
+    k_u, k_e0, k_e1, k_f = jax.random.split(rng_key, 4)
+    u = _signed_to_eval(ctx, sampling.ternary(k_u, n), idx)
+    e0 = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e0, n, ctx.params.sigma), idx)
+    e1 = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e1, n, ctx.params.sigma), idx)
+    b = pk.data[0, :nlimbs]
+    a = pk.data[1, :nlimbs]
+    c0 = modadd(_poly_mul(ctx, b, u, idx), e0, q)
+    c1 = modadd(_poly_mul(ctx, a, u, idx), e1, q)
+    if flood_bits > 0:
+        f = _signed_to_eval(ctx, sampling.uniform_signed(k_f, n, flood_bits), idx)
+        c0 = modadd(c0, f, q)
+    return jnp.stack([c0, c1])
+
+
 def decrypt_to_coeffs(ctx: CkksContext, s_eval, ct: Ciphertext):
     """⟨ct, (1, s, s², …)⟩ then iNTT → coefficient-domain residues u64[l, N].
 

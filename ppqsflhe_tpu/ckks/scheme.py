@@ -189,19 +189,38 @@ class CkksScheme:
 
     # -- PRE ----------------------------------------------------------------
 
-    def re_encrypt(self, ct: Ciphertext, rekey: KeySwitchKey) -> Ciphertext:
+    def re_encrypt(self, ct: Ciphertext, rekey: KeySwitchKey,
+                   pk_to: PublicKey | None = None, rng_key=None) -> Ciphertext:
         """changeCipherDomain: move ct from key A's domain to key B's
-        (cc->ReEncrypt, server/src/changeCipherDomain.cpp:74)."""
+        (cc->ReEncrypt, server/src/changeCipherDomain.cpp:74).
+
+        INDCPA PREMode (the reference's configured mode): one key switch.
+        INDCCA PREMode: additionally re-randomize with a fresh encryption of
+        zero under the TARGET public key + flooding noise (pre_flood_bits),
+        mirroring OpenFHE's ReEncrypt(ct, evalKey, publicKey) HRA overload —
+        ``pk_to`` and ``rng_key`` become required."""
         from ..core.modarith import modadd
 
+        indcca = self.params.pre_mode == "INDCCA"
+        if indcca and (pk_to is None or rng_key is None):
+            raise ValueError(
+                "PREMode INDCCA requires the target public key and an rng key "
+                "for re-encryption re-randomization")
+
         def mk():
-            def f(c, rk):
+            def f(c, rk, pk=None, k=None):
                 l = c.nlimbs
                 q, _, _ = self.ctx.limb_consts(self.ctx.q_idx(l))
                 d0, d1 = ev.keyswitch(self.ctx, c.data[1], rk, l)
                 out = jnp.stack([modadd(c.data[0], d0, q), d1])
+                if indcca:
+                    z = rlwe.encrypt_zero(self.ctx, pk, l, k,
+                                          flood_bits=self.params.pre_flood_bits)
+                    out = modadd(out, z, q)
                 return Ciphertext(data=out, scale=c.scale)
             return f
+        if indcca:
+            return self._jit(("re_encrypt", "INDCCA"), mk)(ct, rekey, pk_to, rng_key)
         return self._jit("re_encrypt", mk)(ct, rekey)
 
     # -- inner product (packed weight vectors, BASELINE.json config 3) ------

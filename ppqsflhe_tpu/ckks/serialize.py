@@ -45,6 +45,8 @@ def params_to_dict(p: CkksParams) -> Dict[str, Any]:
         "ntt_backend": p.ntt_backend,
         "ntt_impl": p.ntt_impl,
         "flexible_ext": p.flexible_ext,
+        "pre_mode": p.pre_mode,
+        "pre_flood_bits": p.pre_flood_bits,
     }
 
 
@@ -62,6 +64,8 @@ def params_from_dict(d: Dict[str, Any]) -> CkksParams:
         ntt_backend=d.get("ntt_backend", "radix2"),
         ntt_impl=d.get("ntt_impl", "xla"),
         flexible_ext=d.get("flexible_ext", False),
+        pre_mode=d.get("pre_mode", "INDCPA"),
+        pre_flood_bits=d.get("pre_flood_bits", 20),
     )
 
 

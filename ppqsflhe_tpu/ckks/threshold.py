@@ -54,10 +54,7 @@ DEFAULT_SMUDGING_BITS = 20
 
 def smudging_noise(key, n: int, bits: int) -> jnp.ndarray:
     """Uniform flooding noise in [-2^bits, 2^bits] (int64 lanes)."""
-    if bits <= 0:
-        return jnp.zeros((n,), jnp.int64)
-    bound = 1 << bits
-    return jax.random.randint(key, (n,), -bound, bound + 1, dtype=jnp.int64)
+    return sampling.uniform_signed(key, n, bits)
 
 
 def common_random_poly(ctx: CkksContext, seed: int) -> jax.Array:

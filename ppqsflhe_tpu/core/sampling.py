@@ -31,6 +31,16 @@ def discrete_gaussian(key, n: int, sigma: float = SIGMA) -> jnp.ndarray:
     return jnp.round(jax.random.normal(key, (n,), dtype=jnp.float32) * sigma).astype(jnp.int32)
 
 
+def uniform_signed(key, n: int, bits: int) -> jnp.ndarray:
+    """Uniform flooding noise in [-2^bits, 2^bits] (int64 lanes) — the
+    noise-flooding primitive behind threshold-decryption smudging and
+    HRA-secure (INDCCA PREMode) re-encryption re-randomization."""
+    if bits <= 0:
+        return jnp.zeros((n,), jnp.int64)
+    bound = 1 << bits
+    return jax.random.randint(key, (n,), -bound, bound + 1, dtype=jnp.int64)
+
+
 def uniform_rns(key, moduli: Sequence[int], n: int) -> jnp.ndarray:
     """Uniform element of R_Q in RNS form: u64[L, n], limb i uniform [0, q_i)."""
     keys = jax.random.split(key, len(moduli))

@@ -86,8 +86,10 @@ def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
         raise ValueError(f"scaling_mod_size {scale_bits} outside (30, 100)")
     if batch and not 0 < batch <= n // 2:
         raise ValueError(f"batch_size {batch} outside (0, ring_dim/2={n // 2}]")
-    if pre_mode not in ("INDCPA",):
-        raise ValueError(f"unsupported PREMode {pre_mode} (reference uses INDCPA)")
+    # the reference's tested mode set (test/server/src/test_s_CC.cpp:
+    # PREMode ∈ {INDCPA, INDCCA}); the committed config uses INDCPA
+    if pre_mode not in ("INDCPA", "INDCCA"):
+        raise ValueError(f"unsupported PREMode {pre_mode} (INDCPA or INDCCA)")
     if pick("use_reference_chain", default=False):
         params = CkksParams.reference(slots=batch or 8192)
     else:
@@ -98,6 +100,10 @@ def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
             ntt_backend=pick("ntt_backend", default="radix2"),
             ntt_impl=pick("ntt_impl", default="xla"),
         )
+    if pre_mode != params.pre_mode:
+        import dataclasses
+
+        params = dataclasses.replace(params, pre_mode=pre_mode)
     ser.save_params(params, cc_out)
     return params
 
@@ -246,21 +252,40 @@ def _store_all_cts(slots, cts: Sequence[Ciphertext]) -> None:
             entry[field] = b64
 
 
-def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: str) -> Dict:
+def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: str,
+                         pub_path: str | None = None,
+                         seed: int | None = None) -> Dict:
     """cc->ReEncrypt on every ciphertext field (changeCipherDomain.cpp:74,89,
-    105) — executed as one batched key switch over all B ciphertexts."""
+    105) — executed as one batched key switch over all B ciphertexts.
+    Under PREMode INDCCA ``pub_path`` (the TARGET domain's public key) is
+    required: every output is re-randomized with Enc_pk(0) + flooding."""
     sch = load_scheme(cc_path)
     rekey = ser.deserialize_ksk(ser.load_json(rekey_path))
+    indcca = sch.params.pre_mode == "INDCCA"
+    if indcca and pub_path is None:
+        raise ValueError("PREMode INDCCA: changeCipherDomain needs the target "
+                         "domain's public key (pub_path)")
+    pk = ser.deserialize_public_key(ser.load_json(pub_path)) if indcca else None
     with open(enc_in) as f:
         enc = json.load(f)
     slots, cts = _load_all_cts(enc)
     stack = jnp.stack([ct.data for ct in cts])  # (B, 2, l, n)
     scale = cts[0].scale
 
-    def re_enc_one(d):
-        return sch.re_encrypt(Ciphertext(d, scale=scale), rekey).data
+    if indcca:
+        keys = jax.random.split(_rng(seed), len(cts))
 
-    out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(re_enc_one))(stack)))
+        def re_enc_one(d, k):
+            return sch.re_encrypt(Ciphertext(d, scale=scale), rekey,
+                                  pk_to=pk, rng_key=k).data
+
+        out_data = np.asarray(jax.device_get(
+            jax.jit(jax.vmap(re_enc_one))(stack, keys)))
+    else:
+        def re_enc_one(d):
+            return sch.re_encrypt(Ciphertext(d, scale=scale), rekey).data
+
+        out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(re_enc_one))(stack)))
     new_cts = [Ciphertext(jnp.asarray(d), scale=scale) for d in out_data]
     _store_all_cts(slots, new_cts)
     with open(enc_out, "w") as f:

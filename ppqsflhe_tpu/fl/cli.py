@@ -66,6 +66,8 @@ def main(argv=None) -> int:
     s.add_argument("rekey")
     s.add_argument("enc_in")
     s.add_argument("enc_out")
+    s.add_argument("target_pubkey", nargs="?", default=None,
+                   help="target-domain public key (required under PREMode INDCCA)")
 
     s = sub.add_parser("aggregateEncryptedWeights")
     s.add_argument("cc")
@@ -113,7 +115,8 @@ def main(argv=None) -> int:
     elif args.cmd == "decryptModelWeights":
         api.decrypt_weights(args.cc, args.privkey, args.enc_in, args.plain_out)
     elif args.cmd == "changeCipherDomain":
-        api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out)
+        api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out,
+                                 pub_path=args.target_pubkey, seed=args.seed)
     elif args.cmd == "aggregateEncryptedWeights":
         api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out)
     elif args.cmd == "thresholdKeyGen":

@@ -262,6 +262,15 @@ class Orchestrator:
 
         # 2) server: PRE non-hub clients into hub domain
         cc_server = os.path.join(self.server_storage, "CC.json")
+
+        def pubkey_of(j: int) -> str | None:
+            """Target-domain pubkey for INDCCA re-randomization (the server
+            holds every client's uploaded pubkey); None under INDCPA."""
+            if api.load_scheme(cc_server).params.pre_mode != "INDCCA":
+                return None
+            return os.path.join(self.server_storage, f"client_{j}",
+                                f"client_{j}-public.key")
+
         hub_domain_files = []
         for i in active:
             src = os.path.join(self.server_storage, f"client_{i}",
@@ -273,7 +282,9 @@ class Orchestrator:
             rekey = os.path.join(self.server_storage, f"client_{i}",
                                  f"client_{i}-to-{hub}-ReKey.key")
             dst = os.path.join(self.server_storage, f"c{i}_domainChange_c{hub}.json")
-            api.change_cipher_domain(cc_server, rekey, src, dst)
+            api.change_cipher_domain(cc_server, rekey, src, dst,
+                                     pub_path=pubkey_of(hub),
+                                     seed=cfg.seed + 4000 * r + i)
             hub_domain_files.append(dst)
 
         # 3) homomorphic FedAvg in the hub domain (over the active subset)
@@ -292,7 +303,9 @@ class Orchestrator:
                                      f"client_{hub}-to-{i}-ReKey.key")
                 dst = os.path.join(self.server_storage,
                                    f"c{hub}_domainChange_c{i}.json")
-                api.change_cipher_domain(cc_server, rekey, agg, dst)
+                api.change_cipher_domain(cc_server, rekey, agg, dst,
+                                         pub_path=pubkey_of(i),
+                                         seed=cfg.seed + 5000 * r + i)
                 src_rel = os.path.basename(dst)
             dest = self._cpath(i, "aggregated_for_me.json")
             self._client_comm(i).get(f"/download/{src_rel}", dest,

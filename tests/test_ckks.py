@@ -153,6 +153,30 @@ def test_proxy_reencryption(sch):
     assert np.abs(wrong - v).max() > 1e-2
 
 
+def test_proxy_reencryption_indcca(sch):
+    """PREMode INDCCA (test_s_CC.cpp's second allowed mode): ReEncrypt
+    re-randomizes with Enc_pk_B(0) + flooding noise, so (a) B still decrypts
+    correctly, (b) two re-encryptions of the SAME ciphertext differ, and
+    (c) omitting the target pubkey is an error."""
+    import dataclasses
+
+    sch_cca = CkksScheme(dataclasses.replace(sch.params, pre_mode="INDCCA"))
+    sk_a, pk_a = sch_cca.keygen(jax.random.PRNGKey(60))
+    sk_b, pk_b = sch_cca.keygen(jax.random.PRNGKey(61))
+    rekey = sch_cca.rekey_gen(sk_a, pk_b, jax.random.PRNGKey(62))
+    v = rand_vec(sch_cca, 23)
+    ct_a = sch_cca.encrypt_values(pk_a, v, jax.random.PRNGKey(63))
+    ct_b1 = sch_cca.re_encrypt(ct_a, rekey, pk_to=pk_b, rng_key=jax.random.PRNGKey(64))
+    ct_b2 = sch_cca.re_encrypt(ct_a, rekey, pk_to=pk_b, rng_key=jax.random.PRNGKey(65))
+    # correctness under flooding (2^20 ≪ Δ=2^40: ~1e-6 relative error budget)
+    np.testing.assert_allclose(sch_cca.decrypt(sk_b, ct_b1), v, atol=1e-3)
+    np.testing.assert_allclose(sch_cca.decrypt(sk_b, ct_b2), v, atol=1e-3)
+    # unlinkability: identical input, different fresh randomness → different cts
+    assert not np.array_equal(np.asarray(ct_b1.data), np.asarray(ct_b2.data))
+    with pytest.raises(ValueError, match="INDCCA"):
+        sch_cca.re_encrypt(ct_a, rekey)
+
+
 def test_pre_then_aggregate(sch):
     """The reference server round: PRE C1→C2 domain, EvalAdd, EvalMult 0.5,
     PRE back to C1 (run_round, SURVEY.md §3.1)."""

@@ -111,6 +111,59 @@ def test_full_server_round(env):
         np.testing.assert_allclose(load_values(doc2, a["layer"]), want, atol=1e-3)
 
 
+def test_full_server_round_indcca(tmp_path):
+    """The same server round under PREMode INDCCA: changeCipherDomain
+    requires the target pubkey, re-randomizes every output, and the
+    decrypted FedAvg stays correct (genCC.cpp:55-58 PREMode plumbing;
+    test_s_CC.cpp allows INDCPA|INDCCA)."""
+    d = str(tmp_path)
+    cc = os.path.join(d, "CC.json")
+    api.gen_cc({"multiplicative_depth": 2, "scaling_mod_size": 40,
+                "batch_size": 32, "PREMode": "INDCCA", "ring_dim": 128}, cc)
+    pk, sk = {}, {}
+    for i in (1, 2):
+        pk[i] = os.path.join(d, f"c{i}-public.key")
+        sk[i] = os.path.join(d, f"c{i}-private.key")
+        api.key_gen(cc, pk[i], sk[i], seed=200 + i)
+    rk12 = os.path.join(d, "rk12.key")
+    rk21 = os.path.join(d, "rk21.key")
+    api.rekey_gen(cc, sk[1], pk[2], rk12, seed=17)
+    api.rekey_gen(cc, sk[2], pk[1], rk21, seed=18)
+
+    w1, w2 = os.path.join(d, "w1.json"), os.path.join(d, "w2.json")
+    s1, s2 = make_weights(w1, 61), make_weights(w2, 62)
+    e1, e2 = os.path.join(d, "e1.json"), os.path.join(d, "e2.json")
+    api.encrypt_weights(cc, pk[1], w1, e1, seed=71)
+    api.encrypt_weights(cc, pk[2], w2, e2, seed=72)
+
+    # missing target pubkey is an error under INDCCA
+    with pytest.raises(ValueError, match="INDCCA"):
+        api.change_cipher_domain(cc, rk12, e1, os.path.join(d, "x.json"))
+
+    e1in2 = os.path.join(d, "e1in2.json")
+    api.change_cipher_domain(cc, rk12, e1, e1in2, pub_path=pk[2], seed=81)
+    # re-randomization: same input, different seed → different ciphertexts
+    e1in2b = os.path.join(d, "e1in2b.json")
+    api.change_cipher_domain(cc, rk12, e1, e1in2b, pub_path=pk[2], seed=82)
+    with open(e1in2) as f:
+        da = json.load(f)
+    with open(e1in2b) as f:
+        db = json.load(f)
+    assert da["weights_summary"][0]["mean"] != db["weights_summary"][0]["mean"]
+
+    agg = os.path.join(d, "agg.json")
+    api.aggregate_encrypted_weights(cc, [e1in2, e2], agg)
+    agg1 = os.path.join(d, "agg_in1.json")
+    api.change_cipher_domain(cc, rk21, agg, agg1, pub_path=pk[1], seed=83)
+    d1 = os.path.join(d, "dec1.json")
+    api.decrypt_weights(cc, sk[1], agg1, d1)
+    with open(d1) as f:
+        doc1 = json.load(f)
+    for a, b in zip(s1, s2):
+        want = (np.asarray(a["values"]) + np.asarray(b["values"])) / 2
+        np.testing.assert_allclose(load_values(doc1, a["layer"]), want, atol=2e-3)
+
+
 def test_nclient_aggregate(env):
     """Generalized N>2 client FedAvg (multikey extension)."""
     d = env["dir"]
@@ -150,7 +203,7 @@ def test_cli_smoke(env, tmp_path):
 def test_gen_cc_parameter_bounds(tmp_path):
     """The reference's tested CC parameter invariants
     (test/server/src/test_s_CC.cpp:43-65): depth in [1,20], scaling mod
-    size in (30,100), batch in (0, N/2], PREMode in {INDCPA}."""
+    size in (30,100), batch in (0, N/2], PREMode in {INDCPA, INDCCA}."""
     import pytest
 
     from ppqsflhe_tpu.fl import api
@@ -165,10 +218,12 @@ def test_gen_cc_parameter_bounds(tmp_path):
         {**good, "scaling_mod_size": 30},
         {**good, "scaling_mod_size": 100},
         {**good, "batch_size": 65},          # > N/2
-        {**good, "PREMode": "INDCCA"},
+        {**good, "PREMode": "INDCPA2"},
     ):
         with pytest.raises(ValueError):
             api.gen_cc(bad, out)
+    # both reference-tested modes are accepted
+    assert api.gen_cc({**good, "PREMode": "INDCCA"}, out).pre_mode == "INDCCA"
 
 
 def test_threshold_cli_tools(env, tmp_path):
