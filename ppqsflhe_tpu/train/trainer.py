@@ -66,6 +66,17 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
 
+    # Telemetry ingestion hook (the reference's Kafka → client-local-storage
+    # handoff, README.md:36): drain any new records from the client's topic
+    # into data_file before training reads it.
+    if cfg.get("telemetry_broker_root"):
+        from ..ingest import Broker, CsvMaterializer
+
+        n_new = CsvMaterializer(Broker(cfg["telemetry_broker_root"]),
+                                client_id, cfg["data_file"]).drain()
+        if verbose and n_new:
+            print(f"[{client_id}] ingested {n_new} new telemetry records")
+
     df = D.load_timeseries(cfg["data_file"])
     train_df, _ = D.train_test_frames(df, cfg["train_end_date"], cfg["test_start_date"])
     fs, tscl = D.Scaler().fit(train_df[D.FEATURE_NAMES].values), D.Scaler().fit(train_df[[D.TARGET]].values)
