@@ -24,11 +24,12 @@ import numpy as np
 import optax
 
 from . import data as D
-from . import gru, lstm, mlp
+from . import gru, lstm, mlp, transformer
 
 #: selectable model families (cfg key "model"); all share the generic
 #: weights_summary export (param_{idx} records) and the Keras weight layout.
-MODEL_FAMILIES = {"gru": gru, "lstm": lstm, "mlp": mlp}
+MODEL_FAMILIES = {"gru": gru, "lstm": lstm, "mlp": mlp,
+                  "transformer": transformer}
 
 
 @dataclass

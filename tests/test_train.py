@@ -100,10 +100,11 @@ def test_calc_metrics():
     assert m["MAE"] == 0 and m["RMSE"] == 0 and m["R2"] == 1.0
 
 
-@pytest.mark.parametrize("family", ["lstm", "mlp"])
+@pytest.mark.parametrize("family", ["lstm", "mlp", "transformer"])
 def test_model_families_train_and_roundtrip(tmp_path, family):
-    """The trainer is family-generic (cfg "model"): LSTM and MLP train,
-    export weights_summary, and warm-start from it (the FL feedback edge)."""
+    """The trainer is family-generic (cfg "model"): LSTM, MLP and the
+    transformer encoder train, export weights_summary, and warm-start from
+    it (the FL feedback edge)."""
     from ppqsflhe_tpu.train import trainer
 
     csv = synth_csv(str(tmp_path / "d.csv"))
