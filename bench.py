@@ -124,16 +124,27 @@ def main() -> None:
         return
 
     tmp = tempfile.mkdtemp(prefix="ppqsflhe_bench_")
-    prep_path = os.path.join(tmp, "prep.npz")
     cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-    print(f"[bench] backend={BACKEND}; prepping in CPU subprocess…", file=sys.stderr)
-    t0 = time.time()
-    r = subprocess.run([sys.executable, __file__, "--prep", prep_path],
-                       env=cpu_env, capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stderr[-2000:], file=sys.stderr)
-        raise SystemExit("prep failed")
-    print(f"[bench] prep done in {time.time()-t0:.1f}s", file=sys.stderr)
+    # Prep artifacts (keys + encrypted payload) depend only on the parameter
+    # set and the fixed PRNG seed — cache them next to the repo so repeated
+    # driver runs skip the ~3 min CPU prep.
+    cache_key = f"{BACKEND}_{N}"
+    prep_path = os.path.join(REPO, ".bench_cache", f"prep_{cache_key}.npz")
+    os.makedirs(os.path.dirname(prep_path), exist_ok=True)
+    if os.path.exists(prep_path):
+        print(f"[bench] backend={BACKEND}; reusing cached prep {prep_path}",
+              file=sys.stderr)
+    else:
+        print(f"[bench] backend={BACKEND}; prepping in CPU subprocess…", file=sys.stderr)
+        t0 = time.time()
+        r = subprocess.run([sys.executable, __file__, "--prep", prep_path],
+                           env=cpu_env, capture_output=True, text=True)
+        if r.returncode != 0:
+            if os.path.exists(prep_path):
+                os.remove(prep_path)
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("prep failed")
+        print(f"[bench] prep done in {time.time()-t0:.1f}s", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
