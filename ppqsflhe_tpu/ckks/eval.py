@@ -120,8 +120,11 @@ def rescale(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
     q, qinv, r2 = ctx.limb_consts(rem_idx)
     qlinv, qlinv_sh, ql_mod, _ = ctx.rescale_consts(l)
 
+    # NOTE: n from the array, not ctx.params.n — inside a shard_map body
+    # (parallel/sharded_scheme.py) the local trailing dim is N/D.
     last_coeff = ctx.intt(ct.data[:, l - 1 : l, :], (l - 1,))      # (k,1,n)
-    r = jnp.broadcast_to(last_coeff, ct.data.shape[:1] + (l - 1, ctx.params.n))
+    r = jnp.broadcast_to(last_coeff,
+                         ct.data.shape[:1] + (l - 1, ct.data.shape[-1]))
     pos = _reduce_into(r, q, qinv, r2)
     # centered lift: r - ql when r > ql/2
     lifted = jnp.where(r > jnp.uint64(ql // 2), modsub(pos, ql_mod, q), pos)

@@ -1,0 +1,121 @@
+"""Full-scheme coefficient sharding (parallel/sharded_scheme.py): the
+UNCHANGED ckks.eval key-switch/PRE/FedAvg code executing under shard_map
+over a client × coef mesh must be BIT-EXACT vs the replicated fourstep path
+(one all-to-all per transform; one psum for the aggregation)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from ppqsflhe_tpu.ckks import eval as ev
+from ppqsflhe_tpu.ckks.params import CkksParams
+from ppqsflhe_tpu.ckks.scheme import CkksScheme
+from ppqsflhe_tpu.ckks.types import Ciphertext
+from ppqsflhe_tpu.core.modarith import modadd
+from ppqsflhe_tpu.parallel.sharded_scheme import (
+    ShardedEvalContext, fedavg_round_sharded, re_encrypt_sharded)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = CkksParams.generate(n=256, mult_depth=2, scale_bits=40, dnum=2,
+                                 ntt_backend="fourstep", ntt_impl="xla")
+    sch = CkksScheme(params)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("client", "coef"))
+    sctx = ShardedEvalContext(params, mesh, axis="coef")
+    return params, sch, mesh, sctx
+
+
+def test_sharded_ntt_roundtrip_matches_replicated(setup):
+    """sctx.ntt/intt under shard_map == the replicated fourstep transform."""
+    from jax.sharding import PartitionSpec as P
+
+    params, sch, mesh, sctx = setup
+    rng = np.random.default_rng(0)
+    L = params.num_q
+    x = jnp.asarray(np.stack([
+        rng.integers(0, q, params.n, dtype=np.uint64) for q in params.q_moduli
+    ]))
+    idx = tuple(range(L))
+    want = sch.ctx.ntt(x, idx)
+
+    n1, n2 = sctx.n1, sctx.n2
+    D = sctx.D
+
+    def body(xm):
+        return sctx.ntt(xm.reshape(L, -1), idx).reshape(L, n2, n1 // D)
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(None, None, "coef"),),
+        out_specs=P(None, None, "coef"),
+    ))(x.reshape(L, n1, n2)).reshape(L, -1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def body_inv(xm):
+        return sctx.intt(xm.reshape(L, -1), idx).reshape(L, n1, n2 // D)
+
+    back = jax.jit(jax.shard_map(
+        body_inv, mesh=mesh, in_specs=(P(None, None, "coef"),),
+        out_specs=P(None, None, "coef"),
+    ))(got.reshape(L, n2, n1)).reshape(L, -1)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_re_encrypt_sharded_bitexact(setup):
+    params, sch, mesh, sctx = setup
+    sk_a, pk_a = sch.keygen(jax.random.PRNGKey(1))
+    sk_b, pk_b = sch.keygen(jax.random.PRNGKey(2))
+    rk = sch.rekey_gen(sk_a, pk_b, jax.random.PRNGKey(3))
+    v = np.random.default_rng(1).uniform(-1, 1, sch.encoder.slots)
+    ct = sch.encrypt_values(pk_a, v, jax.random.PRNGKey(4))
+
+    want = sch.re_encrypt(ct, rk)
+    got = re_encrypt_sharded(sctx, ct, rk)
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(want.data))
+    np.testing.assert_allclose(sch.decrypt(sk_b, got), v, atol=1e-4)
+
+
+def test_fedavg_round_sharded_bitexact(setup):
+    """The complete server round (PRE in → psum FedAvg → PRE back) over the
+    client × coef mesh equals the replicated computation bit-for-bit."""
+    params, sch, mesh, sctx = setup
+    rng = np.random.default_rng(2)
+    sk1, pk1 = sch.keygen(jax.random.PRNGKey(10))
+    sk2, pk2 = sch.keygen(jax.random.PRNGKey(11))
+    rk12 = sch.rekey_gen(sk1, pk2, jax.random.PRNGKey(12))
+    rk21 = sch.rekey_gen(sk2, pk1, jax.random.PRNGKey(13))
+    B = 2
+    vs1 = [rng.uniform(-1, 1, sch.encoder.slots) for _ in range(B)]
+    vs2 = [rng.uniform(-1, 1, sch.encoder.slots) for _ in range(B)]
+    cts1 = [sch.encrypt_values(pk1, v, jax.random.PRNGKey(20 + i))
+            for i, v in enumerate(vs1)]
+    cts2 = [sch.encrypt_values(pk2, v, jax.random.PRNGKey(30 + i))
+            for i, v in enumerate(vs2)]
+    scale = cts1[0].scale
+
+    # replicated reference: client 1 → hub (client 2) domain, FedAvg, back
+    want_agg, want_back = [], []
+    for c1, c2 in zip(cts1, cts2):
+        c1in2 = sch.re_encrypt(c1, rk12)
+        avg = sch.mult_scalar(sch.add(c1in2, c2), 0.5)
+        want_agg.append(avg.data)
+        want_back.append(sch.re_encrypt(avg, rk21).data)
+
+    stacks = jnp.stack([jnp.stack([c.data for c in cts1]),
+                        jnp.stack([c.data for c in cts2])])
+    agg, back = fedavg_round_sharded(sctx, stacks, rk12.data, rk21.data, scale)
+
+    np.testing.assert_array_equal(np.asarray(agg),
+                                  np.asarray(jnp.stack(want_agg)))
+    np.testing.assert_array_equal(np.asarray(back),
+                                  np.asarray(jnp.stack(want_back)))
+    # and it decrypts to the plaintext FedAvg
+    l = want_agg[0].shape[1]
+    for b in range(B):
+        got = sch.decrypt(sk2, Ciphertext(jnp.asarray(agg[b]),
+                                          scale=scale))
+        np.testing.assert_allclose(got, (vs1[b] + vs2[b]) / 2, atol=1e-4)
