@@ -38,6 +38,35 @@ def test_get_cc_and_download(server, tmp_path):
     assert os.path.getsize(dest2) == 3000
 
 
+def test_download_path_traversal_rejected(server, tmp_path):
+    """/download must never serve outside the storage root (the reference
+    joins under server/storage — runMserver.cpp:189-234; we must too)."""
+    import urllib.error
+    import urllib.request
+
+    srv, storage, root = server
+    # a secret OUTSIDE the storage root
+    with open(os.path.join(root, "secret.txt"), "w") as f:
+        f.write("credentials")
+    for path in ("/download/../secret.txt",
+                 "/download/..%2Fsecret.txt",
+                 "/download/client_1/../../secret.txt"):
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}{path}", timeout=10) as r:
+                body = r.read()
+                assert b"credentials" not in body, path
+        except urllib.error.HTTPError as e:
+            assert e.code in (403, 404), (path, e.code)
+
+
+def test_bad_ciphertext_magic():
+    from ppqsflhe_tpu.ckks import serialize as ser
+
+    with pytest.raises(ValueError, match="magic"):
+        ser.ciphertext_from_bytes(b"XXXX" + b"\x00" * 64)
+
+
 def test_upload_multipart_and_metrics(server, tmp_path):
     srv, storage, root = server
     mcsv = os.path.join(root, "client_metrics.csv")
