@@ -163,6 +163,14 @@ def main() -> None:
     put = lambda k: jax.device_put(jnp.asarray(z[k]), accel)
     stack1, stack2, rk12, rk21 = put("stack1"), put("stack2"), put("rk12"), put("rk21")
 
+    # Lazy level management (default on): LevelReduce — dropping the TOP RNS
+    # limb without scaling — is a free, exact modulus switch (message+noise
+    # < Q_small/2 unchanged), so the PRE key switches run at l=2 and l=1
+    # instead of l=3 and l=2: ~35 → ~23 limb-transforms per ciphertext.
+    # Decrypted FedAvg is identical to within CKKS noise (checked below).
+    # PPQSFLHE_BENCH_LAZY=0 restores the reference's full-level schedule.
+    lazy = os.environ.get("PPQSFLHE_BENCH_LAZY", "1") != "0"
+
     def server_round(s1, s2, k12, k21):
         from ppqsflhe_tpu.core.modarith import modadd
 
@@ -173,6 +181,9 @@ def main() -> None:
             return jnp.stack([modadd(d[0], d0, q), d1])
 
         def agg_pair(d1, d2):
+            if lazy:
+                d1 = d1[:, :-1]                 # LevelReduce before the switch
+                d2 = d2[:, :-1]
             c1in2 = re_enc(d1, k12)
             s = ev.add(sch.ctx, Ciphertext(c1in2, scale), Ciphertext(d2, scale))
             avg = ev.mult_scalar(sch.ctx, s, 0.5)

@@ -254,11 +254,18 @@ def _store_all_cts(slots, cts: Sequence[Ciphertext]) -> None:
 
 def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: str,
                          pub_path: str | None = None,
-                         seed: int | None = None) -> Dict:
+                         seed: int | None = None,
+                         drop_limbs: int = 0) -> Dict:
     """cc->ReEncrypt on every ciphertext field (changeCipherDomain.cpp:74,89,
     105) — executed as one batched key switch over all B ciphertexts.
     Under PREMode INDCCA ``pub_path`` (the TARGET domain's public key) is
-    required: every output is re-randomized with Enc_pk(0) + flooding."""
+    required: every output is re-randomized with Enc_pk(0) + flooding.
+
+    ``drop_limbs`` applies LevelReduce (free top-limb truncation — an exact
+    modulus switch) before the key switch: each dropped limb removes a large
+    share of the switch's NTT work AND shrinks the output payload, at zero
+    precision cost while message+noise ≪ Q_small (lazy level management;
+    the reference keeps full level throughout)."""
     sch = load_scheme(cc_path)
     rekey = ser.deserialize_ksk(ser.load_json(rekey_path))
     indcca = sch.params.pre_mode == "INDCCA"
@@ -270,6 +277,10 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
         enc = json.load(f)
     slots, cts = _load_all_cts(enc)
     stack = jnp.stack([ct.data for ct in cts])  # (B, 2, l, n)
+    if drop_limbs:
+        if drop_limbs >= stack.shape[2]:
+            raise ValueError(f"cannot drop {drop_limbs} of {stack.shape[2]} limbs")
+        stack = stack[:, :, : stack.shape[2] - drop_limbs]
     scale = cts[0].scale
 
     if indcca:
@@ -484,7 +495,12 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
             "federated averaging requires every client to train the same "
             "architecture (aggregateEncryptedWeights.cpp:71-72 semantics)")
     scale = stack_groups[0][0].scale
-    big = jnp.stack([jnp.stack([ct.data for ct in grp]) for grp in stack_groups])
+    # clients may arrive at different levels (lazy level management drops
+    # limbs in change_cipher_domain): truncate every ct to the common
+    # minimum — LevelReduce, exact
+    lmin = min(ct.nlimbs for grp in stack_groups for ct in grp)
+    big = jnp.stack([jnp.stack([ct.data[:, :lmin] for ct in grp])
+                     for grp in stack_groups])
     # big: (B, n_clients, 2, l, n) → batched modular sum + single 1/N EvalMult
 
     def agg_one(group):

@@ -66,6 +66,12 @@ class OrchestratorConfig:
     # feature flag without using it; this mode is that capability.
     protocol: str = "pre"                 # 'pre' | 'threshold'
     smudging_bits: int | None = None      # threshold-mode flooding noise
+    # Lazy level management: LevelReduce each inbound ciphertext one limb
+    # before the PRE key switch (free modulus switch — fl.api
+    # change_cipher_domain drop_limbs). Cuts the server round's NTT count
+    # ~1/3 and shrinks the domain-changed payloads; precision unchanged.
+    # Off by default = reference full-level schedule.
+    lazy_levels: bool = False
 
 
 class Orchestrator:
@@ -284,7 +290,8 @@ class Orchestrator:
             dst = os.path.join(self.server_storage, f"c{i}_domainChange_c{hub}.json")
             api.change_cipher_domain(cc_server, rekey, src, dst,
                                      pub_path=pubkey_of(hub),
-                                     seed=cfg.seed + 4000 * r + i)
+                                     seed=cfg.seed + 4000 * r + i,
+                                     drop_limbs=1 if cfg.lazy_levels else 0)
             hub_domain_files.append(dst)
 
         # 3) homomorphic FedAvg in the hub domain (over the active subset)

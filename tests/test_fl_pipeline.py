@@ -164,6 +164,34 @@ def test_full_server_round_indcca(tmp_path):
         np.testing.assert_allclose(load_values(doc1, a["layer"]), want, atol=2e-3)
 
 
+def test_lazy_level_server_round(env):
+    """Lazy level management: changeCipherDomain with drop_limbs=1
+    (LevelReduce before the key switch) + aggregation over MIXED levels
+    (hub at full level) still decrypts to the exact FedAvg — and the
+    domain-changed payload shrinks."""
+    d = env["dir"]
+    w1, w2 = os.path.join(d, "lw1.json"), os.path.join(d, "lw2.json")
+    s1, s2 = make_weights(w1, 91), make_weights(w2, 92)
+    e1, e2 = os.path.join(d, "le1.json"), os.path.join(d, "le2.json")
+    api.encrypt_weights(env["cc"], env["pk1"], w1, e1, seed=93)
+    api.encrypt_weights(env["cc"], env["pk2"], w2, e2, seed=94)
+    e1in2 = os.path.join(d, "le1in2.json")
+    api.change_cipher_domain(env["cc"], env["rk12"], e1, e1in2, drop_limbs=1)
+    assert os.path.getsize(e1in2) < os.path.getsize(e1)  # fewer limbs on the wire
+    agg = os.path.join(d, "lagg.json")
+    api.aggregate_encrypted_weights(env["cc"], [e1in2, e2], agg)  # mixed levels
+    d2 = os.path.join(d, "ldec2.json")
+    api.decrypt_weights(env["cc"], env["sk2"], agg, d2)
+    with open(d2) as f:
+        doc2 = json.load(f)
+    for a, b in zip(s1, s2):
+        want = (np.asarray(a["values"]) + np.asarray(b["values"])) / 2
+        np.testing.assert_allclose(load_values(doc2, a["layer"]), want, atol=1e-3)
+    with pytest.raises(ValueError, match="drop"):
+        api.change_cipher_domain(env["cc"], env["rk12"], e1,
+                                 os.path.join(d, "x.json"), drop_limbs=9)
+
+
 def test_nclient_aggregate(env):
     """Generalized N>2 client FedAvg (multikey extension)."""
     d = env["dir"]
