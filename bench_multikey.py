@@ -146,6 +146,17 @@ def main() -> None:
     pad = nchunks * CHUNK - B
     host_stacks = np.pad(stacks, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
 
+    # Lazy level management (see bench.py / docs/PERF.md): LevelReduce to
+    # l=1 before the key switches (free exact modulus switch), and with a
+    # power-of-two client count the FedAvg ÷C is pure scale metadata
+    # (1/C encoded at scale C is the constant 1). PPQSFLHE_BENCH_LAZY=0
+    # restores the reference's full-level schedule.
+    lazy = int(os.environ.get("PPQSFLHE_BENCH_LAZY", "2") or 0)
+    free_div = lazy >= 2 and (C & (C - 1)) == 0
+    if lazy:
+        host_stacks = host_stacks[:, :, :, : max(1, L - lazy)]
+    out_scale = scale * C if free_div else scale
+
     def full_round():
         outs = []
         agg_chunks = []
@@ -155,7 +166,7 @@ def main() -> None:
             for i in range(C - 1):
                 d = jax.device_put(jnp.asarray(host_stacks[i, sl]), accel)
                 acc = j_add(acc, j_re(d, rk_to[i]))
-            avg = j_avg(acc)
+            avg = acc if free_div else j_avg(acc)
             agg_chunks.append(avg)
             outs.append([j_re(avg, rk_from[i]) for i in range(C - 1)])
         jax.block_until_ready(outs)
@@ -175,7 +186,8 @@ def main() -> None:
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="mk_")
-    np.savez(os.path.join(tmp, "agg.npz"), agg2=np.asarray(agg_chunks[0][2]))
+    np.savez(os.path.join(tmp, "agg.npz"), agg2=np.asarray(agg_chunks[0][2]),
+             out_scale=np.float64(out_scale))
     check = f"""
 import json, numpy as np, jax.numpy as jnp, sys
 sys.path.insert(0, {REPO!r})
@@ -190,7 +202,8 @@ z = np.load({CACHE!r}); a = np.load({os.path.join(tmp, 'agg.npz')!r})
 s_int = z['s_hub_int']
 coeff = sampling.signed_to_rns(jnp.asarray(s_int, jnp.int32), sch.ctx.moduli_qp)
 sk = SecretKey(s_eval=sch.ctx.ntt(coeff, tuple(range(len(sch.ctx.moduli_qp)))), s_int=s_int)
-got = sch.decrypt(sk, Ciphertext(jnp.asarray(a['agg2']), scale=float(z['scale'])), num=8)
+sc = float(a['out_scale']) if 'out_scale' in a else float(z['scale'])
+got = sch.decrypt(sk, Ciphertext(jnp.asarray(a['agg2']), scale=sc), num=8)
 print(json.dumps({{"err": float(np.abs(np.asarray(got) - z['probe'][:8]).max())}}))
 """
     cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
