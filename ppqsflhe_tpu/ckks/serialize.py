@@ -145,20 +145,61 @@ def load_json(path: str) -> Dict[str, Any]:
 
 
 # -- ciphertexts (binary, Base64-wrapped by callers) ------------------------
+#
+# v1: raw little-endian u64 residues (8 B/coefficient/limb).
+# v2 (default): per-limb minimal byte width — each limb's residues are < q_i,
+# so limb i needs only ceil(bits(q_i)/8) bytes (reference chain: 8/5/5/3 B ≈
+# 34% smaller than v1 before Base64). Readers accept both.
 
-def ciphertext_to_bytes(ct: Ciphertext) -> bytes:
+def _pack_limb(a: np.ndarray, width: int) -> bytes:
+    raw = np.ascontiguousarray(a.astype("<u8")).view(np.uint8).reshape(-1, 8)
+    return raw[:, :width].tobytes()
+
+
+def _unpack_limb(b: bytes, width: int, n: int) -> np.ndarray:
+    if width == 8:
+        return np.frombuffer(b, dtype="<u8", count=n).copy()
+    raw = np.frombuffer(b, dtype=np.uint8, count=n * width).reshape(n, width)
+    out = np.zeros((n, 8), np.uint8)
+    out[:, :width] = raw
+    return out.view("<u8")[:, 0].copy()
+
+
+def ciphertext_to_bytes(ct: Ciphertext, version: int = 2) -> bytes:
     k, l, n = ct.data.shape
-    header = MAGIC + struct.pack("<IIIId", VERSION, k, l, n, float(ct.scale))
-    return header + np.asarray(ct.data, dtype="<u8").tobytes()
+    data = np.asarray(ct.data)
+    if version == 1:
+        header = MAGIC + struct.pack("<IIIId", 1, k, l, n, float(ct.scale))
+        return header + data.astype("<u8").tobytes()
+    # per-limb widths from the actual residue magnitudes (power-of-2 safe:
+    # max residue < q_i determines the needed bytes)
+    widths = bytes(
+        max(1, (int(data[:, i].max()).bit_length() + 7) // 8) if n else 8
+        for i in range(l)
+    )
+    header = MAGIC + struct.pack("<IIIId", 2, k, l, n, float(ct.scale)) + widths
+    parts = [header]
+    for i in range(l):
+        parts.append(_pack_limb(data[:, i].ravel(), widths[i]))
+    return b"".join(parts)
 
 
 def ciphertext_from_bytes(b: bytes) -> Ciphertext:
     if b[:4] != MAGIC:
         raise ValueError("bad ciphertext magic")
     ver, k, l, n, scale = struct.unpack("<IIIId", b[4:28])
-    if ver != VERSION:
+    if ver == 1:
+        data = np.frombuffer(b[28:], dtype="<u8").reshape(k, l, n).copy()
+    elif ver == 2:
+        widths = b[28 : 28 + l]
+        data = np.zeros((k, l, n), np.uint64)
+        off = 28 + l
+        for i in range(l):
+            w = widths[i]
+            data[:, i] = _unpack_limb(b[off:], w, k * n).reshape(k, n)
+            off += k * n * w
+    else:
         raise ValueError(f"unsupported ciphertext version {ver}")
-    data = np.frombuffer(b[28:], dtype="<u8").reshape(k, l, n).copy()
     return Ciphertext(data=jnp.asarray(data, U64), scale=scale)
 
 

@@ -67,6 +67,32 @@ def test_bad_ciphertext_magic():
         ser.ciphertext_from_bytes(b"XXXX" + b"\x00" * 64)
 
 
+def test_ciphertext_wire_v2_packing():
+    """v2 wire format packs each limb at its minimal byte width (reference
+    chain 60/40/40/20-bit → 8/5/5/3 B ≈ 34% smaller than v1); v1 blobs
+    stay readable."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ppqsflhe_tpu.ckks import serialize as ser
+    from ppqsflhe_tpu.ckks.types import Ciphertext
+
+    rng = np.random.default_rng(0)
+    moduli = [1152921504606748673, 1099510054913, 1099511922689, 557057]
+    data = np.stack([
+        np.stack([rng.integers(0, q, 512, dtype=np.uint64) for q in moduli])
+        for _ in range(2)
+    ])
+    ct = Ciphertext(jnp.asarray(data), scale=2.0 ** 40)
+    b2 = ser.ciphertext_to_bytes(ct)
+    b1 = ser.ciphertext_to_bytes(ct, version=1)
+    assert len(b2) < 0.70 * len(b1)
+    for blob in (b1, b2):
+        back = ser.ciphertext_from_bytes(blob)
+        assert np.array_equal(np.asarray(back.data), data)
+        assert back.scale == ct.scale
+
+
 def test_upload_multipart_and_metrics(server, tmp_path):
     srv, storage, root = server
     mcsv = os.path.join(root, "client_metrics.csv")
