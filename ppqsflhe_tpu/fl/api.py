@@ -452,11 +452,18 @@ def threshold_fuse_decrypt(cc_path: str, enc_in: str,
     return out
 
 
-def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out: str) -> Dict:
+def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out: str,
+                                lazy: bool = False) -> Dict:
     """Homomorphic FedAvg over N clients' encrypted weights, all already in a
     common key domain: per layer matched by name AND shape
     (aggregateEncryptedWeights.cpp:71-72), ct_avg = (Σ ct_i)·(1/N)
-    (generalizes the 2-client EvalAdd + EvalMult(·,0.5) at :82-83)."""
+    (generalizes the 2-client EvalAdd + EvalMult(·,0.5) at :82-83).
+
+    ``lazy`` (lazy level management, docs/PERF.md): when N is a power of
+    two, ÷N is EXACT as pure scale metadata (1/N encoded at scale N is the
+    constant 1), so the EvalMult+rescale disappears and one more limb is
+    LevelReduce'd off the output — fewer NTTs and a smaller payload, no
+    precision change. Non-power-of-two N falls back to the standard path."""
     sch = load_scheme(cc_path)
     docs = []
     for p in enc_paths:
@@ -503,16 +510,21 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
                      for grp in stack_groups])
     # big: (B, n_clients, 2, l, n) → batched modular sum + single 1/N EvalMult
 
+    free_div = lazy and (n_clients & (n_clients - 1)) == 0 and lmin > 1
+
     def agg_one(group):
         from ..ckks import eval as ev
 
         acc = Ciphertext(group[0], scale=scale)
         for c in range(1, n_clients):
             acc = ev.add(sch.ctx, acc, Ciphertext(group[c], scale=scale))
+        if free_div:
+            return acc.data[:, :-1]       # free ÷N (scale) + LevelReduce
         return ev.mult_scalar(sch.ctx, acc, 1.0 / n_clients).data
 
+    out_scale = scale * n_clients if free_div else scale
     out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(agg_one))(big)))
-    agg_cts = [Ciphertext(jnp.asarray(d), scale=scale) for d in out_data]
+    agg_cts = [Ciphertext(jnp.asarray(d), scale=out_scale) for d in out_data]
 
     i = 0
     for rec, nv in layout:

@@ -298,7 +298,8 @@ class Orchestrator:
         log("server", "aggregate",
             f"FedAvg over {len(active)}/{cfg.n_clients} clients")
         agg = os.path.join(self.server_storage, "aggregated_weights.json")
-        api.aggregate_encrypted_weights(cc_server, hub_domain_files, agg)
+        api.aggregate_encrypted_weights(cc_server, hub_domain_files, agg,
+                                        lazy=cfg.lazy_levels)
 
         # 4) PRE the aggregate back to each active client + distribute
         for i in active:

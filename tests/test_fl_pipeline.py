@@ -191,6 +191,21 @@ def test_lazy_level_server_round(env):
         api.change_cipher_domain(env["cc"], env["rk12"], e1,
                                  os.path.join(d, "x.json"), drop_limbs=9)
 
+    # lazy aggregate: with a power-of-2 client count the ÷N is pure scale
+    # metadata + one more LevelReduce — decrypts identically
+    agg_lazy = os.path.join(d, "lagg_lazy.json")
+    api.aggregate_encrypted_weights(env["cc"], [e1in2, e2], agg_lazy, lazy=True)
+    # both paths end at l=1 here (rescale also drops a limb) — same payload,
+    # the lazy one just skips the EvalMult+rescale compute
+    assert os.path.getsize(agg_lazy) <= os.path.getsize(agg)
+    d2l = os.path.join(d, "ldec2_lazy.json")
+    api.decrypt_weights(env["cc"], env["sk2"], agg_lazy, d2l)
+    with open(d2l) as f:
+        doc2l = json.load(f)
+    for a, b in zip(s1, s2):
+        want = (np.asarray(a["values"]) + np.asarray(b["values"])) / 2
+        np.testing.assert_allclose(load_values(doc2l, a["layer"]), want, atol=1e-3)
+
 
 def test_nclient_aggregate(env):
     """Generalized N>2 client FedAvg (multikey extension)."""
