@@ -108,7 +108,8 @@ def run_check(prep_path: str, agg_path: str) -> None:
     s_int = z["s2_int"]
     coeff = sampling.signed_to_rns(jnp.asarray(s_int, jnp.int32), sch.ctx.moduli_qp)
     sk2 = SecretKey(s_eval=sch.ctx.ntt(coeff, all_idx), s_int=s_int)
-    got = sch.decrypt(sk2, Ciphertext(jnp.asarray(a["agg2"]), scale=float(z["scale"])),
+    out_scale = float(a["scale"]) if "scale" in a else float(z["scale"])
+    got = sch.decrypt(sk2, Ciphertext(jnp.asarray(a["agg2"]), scale=out_scale),
                       num=16)
     err = float(np.abs(np.asarray(got) - z["probe"][: len(got)]).max())
     print(json.dumps({"err": err}))
@@ -163,13 +164,28 @@ def main() -> None:
     put = lambda k: jax.device_put(jnp.asarray(z[k]), accel)
     stack1, stack2, rk12, rk21 = put("stack1"), put("stack2"), put("rk12"), put("rk21")
 
-    # Lazy level management (default on): LevelReduce — dropping the TOP RNS
-    # limb without scaling — is a free, exact modulus switch (message+noise
-    # < Q_small/2 unchanged), so the PRE key switches run at l=2 and l=1
-    # instead of l=3 and l=2: ~35 → ~23 limb-transforms per ciphertext.
-    # Decrypted FedAvg is identical to within CKKS noise (checked below).
-    # PPQSFLHE_BENCH_LAZY=0 restores the reference's full-level schedule.
-    lazy = os.environ.get("PPQSFLHE_BENCH_LAZY", "1") != "0"
+    # Lazy level management: LevelReduce — dropping TOP RNS limbs without
+    # scaling — is a free, exact modulus switch (message+noise < Q_small/2
+    # unchanged). The reference keeps full level throughout; nothing in a
+    # pure-linear aggregation round needs that.
+    #   PPQSFLHE_BENCH_LAZY=0  reference full-level schedule (~35 NTT/ct)
+    #   PPQSFLHE_BENCH_LAZY=1  drop 1 limb; mult+rescale ÷2 (~23 NTT/ct)
+    #   PPQSFLHE_BENCH_LAZY=2  drop to l=1; ÷2 as exact scale METADATA (0.5
+    #     encoded at scale 2 is the constant 1 — no mult, no rescale):
+    #     fewest transforms (~18/ct) but measured SLOWER (15.0 ms) —
+    #     single-limb ops under-utilize the chip (docs/PERF.md).
+    #   PPQSFLHE_BENCH_LAZY=3  drop 1 limb AND free ÷2: both key switches at
+    #     l=2, no rescale (measured 14.8 ms — the un-shrunk second switch
+    #     costs more than the saved rescale).
+    #   PPQSFLHE_BENCH_LAZY=4  (default) = mode 1 with the rescale replaced
+    #     by a free LevelReduce: PRE@l2 → add → ÷2 as scale metadata → drop
+    #     limb → PRE@l1. Identical op shapes to mode 1, two fewer
+    #     transforms per ciphertext (~21 NTT/ct).
+    lazy = int(os.environ.get("PPQSFLHE_BENCH_LAZY", "4") or 0)
+    L_full = sch.params.num_q
+    drop = min(2 if lazy == 2 else min(lazy, 1), L_full - 1)
+    free_div = lazy >= 2
+    out_scale = scale * 2.0 if free_div else scale
 
     def server_round(s1, s2, k12, k21):
         from ppqsflhe_tpu.core.modarith import modadd
@@ -181,12 +197,18 @@ def main() -> None:
             return jnp.stack([modadd(d[0], d0, q), d1])
 
         def agg_pair(d1, d2):
-            if lazy:
-                d1 = d1[:, :-1]                 # LevelReduce before the switch
-                d2 = d2[:, :-1]
+            if drop:
+                d1 = d1[:, : L_full - drop]     # LevelReduce before the switch
+                d2 = d2[:, : L_full - drop]
             c1in2 = re_enc(d1, k12)
             s = ev.add(sch.ctx, Ciphertext(c1in2, scale), Ciphertext(d2, scale))
-            avg = ev.mult_scalar(sch.ctx, s, 0.5)
+            if lazy >= 4:
+                # free ÷2 (scale metadata) + free LevelReduce to l=1
+                avg = Ciphertext(s.data[:, :-1], scale)
+            elif free_div:
+                avg = s                         # ÷2 is free: scale ×= 2 outside
+            else:
+                avg = ev.mult_scalar(sch.ctx, s, 0.5)
             return avg.data, re_enc(avg.data, k21)
 
         return jax.vmap(agg_pair)(s1, s2)
@@ -222,7 +244,7 @@ def main() -> None:
           f"pipelined {ms:.1f} ms/round", file=sys.stderr)
 
     agg_path = os.path.join(tmp, "agg.npz")
-    np.savez(agg_path, agg2=np.asarray(agg[2]))
+    np.savez(agg_path, agg2=np.asarray(agg[2]), scale=np.float64(out_scale))
     r = subprocess.run([sys.executable, __file__, "--check", prep_path, agg_path],
                        env=cpu_env, capture_output=True, text=True)
     err = json.loads(r.stdout.strip().splitlines()[-1])["err"] if r.returncode == 0 else float("inf")
