@@ -68,11 +68,16 @@ def main(argv=None) -> int:
     s.add_argument("enc_out")
     s.add_argument("target_pubkey", nargs="?", default=None,
                    help="target-domain public key (required under PREMode INDCCA)")
+    s.add_argument("--drop-limbs", type=int, default=0,
+                   help="LevelReduce N limbs before the switch (lazy level "
+                        "management — docs/PERF.md)")
 
     s = sub.add_parser("aggregateEncryptedWeights")
     s.add_argument("cc")
     s.add_argument("agg_out")
     s.add_argument("enc_in", nargs="+")
+    s.add_argument("--lazy", action="store_true",
+                   help="free ÷N (power-of-two client counts) + LevelReduce")
 
     s = sub.add_parser("train")
     s.add_argument("config")
@@ -116,9 +121,11 @@ def main(argv=None) -> int:
         api.decrypt_weights(args.cc, args.privkey, args.enc_in, args.plain_out)
     elif args.cmd == "changeCipherDomain":
         api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out,
-                                 pub_path=args.target_pubkey, seed=args.seed)
+                                 pub_path=args.target_pubkey, seed=args.seed,
+                                 drop_limbs=args.drop_limbs)
     elif args.cmd == "aggregateEncryptedWeights":
-        api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out)
+        api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out,
+                                        lazy=args.lazy)
     elif args.cmd == "thresholdKeyGen":
         api.threshold_keygen(args.cc, args.crs_seed, args.share_out,
                              args.bshare_out, seed=args.seed)

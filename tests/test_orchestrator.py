@@ -66,6 +66,41 @@ def test_two_round_fl_run(tmp_path, comm_mode):
     assert os.path.exists(str(tmp_path / "run" / "metrics" / "comm_metrics.csv"))
 
 
+def test_indcca_lazy_round(tmp_path):
+    """One full round under PREMode INDCCA (re-randomized PRE, server uses
+    the uploaded target pubkeys) combined with lazy level management —
+    the hardened + optimized production configuration."""
+    w = {}
+    rng = np.random.default_rng(7)
+    for i in (1, 2):
+        vals = rng.uniform(-1, 1, 40)
+        w[i] = str(tmp_path / f"w{i}.json")
+        with open(w[i], "w") as f:
+            json.dump({"weights_summary": [{
+                "layer": "dense", "shape": [40],
+                "mean": float(vals.mean()), "std_dev": float(vals.std()),
+                "values": [float(x) for x in vals],
+            }]}, f)
+    cfg = OrchestratorConfig(
+        rounds=1, n_clients=2, work_dir=str(tmp_path / "run"),
+        comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32,
+                   "multiplicative_depth": 2, "PREMode": "INDCCA"},
+        client_configs=[{"INPUT_WEIGHTS_PATH": w[i + 1]} for i in range(2)],
+        train=False, seed=11, lazy_levels=True,
+    )
+    Orchestrator(cfg).run()
+    want = None
+    for i in (1, 2):
+        with open(str(tmp_path / "run" / f"client_{i}" / "decrypted_weights.json")) as f:
+            got = np.asarray(json.load(f)["weights_summary"][0]["values"])
+        if want is None:
+            with open(w[1]) as f1, open(w[2]) as f2:
+                want = (np.asarray(json.load(f1)["weights_summary"][0]["values"])
+                        + np.asarray(json.load(f2)["weights_summary"][0]["values"])) / 2
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
 def test_client_dropout_tolerance(tmp_path):
     """A client that fails mid-round is dropped; the server aggregates the
     survivors (here: 3 clients, client_2's weights file is missing), the
