@@ -43,6 +43,9 @@ def main(argv=None) -> int:
         train=bool(cfg.get("TRAIN", True)),
         seed=int(cfg.get("SEED", 1234)),
         protocol=cfg.get("PROTOCOL", "pre"),
+        lazy_levels=bool(cfg.get("LAZY_LEVELS", False)),
+        fail_fast=bool(cfg.get("FAIL_FAST", False)),
+        min_clients=int(cfg.get("MIN_CLIENTS", 1)),
     )
     results = Orchestrator(oc).run(resume=resume)
     print(json.dumps(results))
