@@ -146,15 +146,16 @@ def main() -> None:
     pad = nchunks * CHUNK - B
     host_stacks = np.pad(stacks, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
 
-    # Lazy level management (see bench.py / docs/PERF.md): LevelReduce to
-    # l=1 before the key switches (free exact modulus switch), and with a
-    # power-of-two client count the FedAvg ÷C is pure scale metadata
-    # (1/C encoded at scale C is the constant 1). PPQSFLHE_BENCH_LAZY=0
-    # restores the reference's full-level schedule.
-    lazy = int(os.environ.get("PPQSFLHE_BENCH_LAZY", "2") or 0)
+    # Lazy level management (bench.py mode 4, the measured-best schedule —
+    # docs/PERF.md): LevelReduce one limb on entry (inbound switches at
+    # l=2), free ÷C for power-of-two client counts (1/C encoded at scale C
+    # is the constant 1 — pure scale metadata), then LevelReduce again so
+    # the C−1 outbound switches run at l=1. PPQSFLHE_BENCH_LAZY=0 restores
+    # the reference's full-level schedule.
+    lazy = int(os.environ.get("PPQSFLHE_BENCH_LAZY", "4") or 0)
     free_div = lazy >= 2 and (C & (C - 1)) == 0
     if lazy:
-        host_stacks = host_stacks[:, :, :, : max(1, L - lazy)]
+        host_stacks = host_stacks[:, :, :, : max(1, L - 1)]
     out_scale = scale * C if free_div else scale
 
     def full_round():
@@ -167,6 +168,8 @@ def main() -> None:
                 d = jax.device_put(jnp.asarray(host_stacks[i, sl]), accel)
                 acc = j_add(acc, j_re(d, rk_to[i]))
             avg = acc if free_div else j_avg(acc)
+            if lazy >= 4 and avg.shape[2] > 1:
+                avg = avg[:, :, :-1]    # free LevelReduce before the return PREs
             agg_chunks.append(avg)
             outs.append([j_re(avg, rk_from[i]) for i in range(C - 1)])
         jax.block_until_ready(outs)
