@@ -215,6 +215,9 @@ print(json.dumps({{"err": float(np.abs(np.asarray(got) - z['probe'][:8]).max())}
     err = float("inf")
     if r.returncode == 0 and r.stdout.strip():
         err = json.loads(r.stdout.strip().splitlines()[-1])["err"]
+    else:
+        print(f"[mk] check subprocess failed (rc={r.returncode}):\n"
+              f"{(r.stderr or '')[-1500:]}", file=sys.stderr)
     print(f"[mk] round times={['%.2f' % t for t in times]} err={err:.2e}", file=sys.stderr)
 
     print(json.dumps({
