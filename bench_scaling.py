@@ -60,13 +60,15 @@ def run_one(n_dev: int) -> None:
     mesh = make_mesh({"coef": n_dev})
     sn = ShardedNtt(N, moduli, psis, mesh)
     rng = np.random.default_rng(0)
-    # per-device work constant: n_dev polys of L limbs each
+    # per-device work constant: n_dev polys of L limbs each. ShardedNtt's
+    # tables are per-limb, so extra polys ride as separate transforms in one
+    # jitted graph (NOT packed into the limb dim — that broadcasts wrong).
     x = np.stack([
         np.stack([rng.integers(0, q, N, dtype=np.uint64) for q in moduli])
         for _ in range(n_dev)
-    ]).reshape(n_dev * LIMBS, sn.n1, sn.n2)
+    ]).reshape(n_dev, LIMBS, sn.n1, sn.n2)
     xm = jnp.asarray(x)
-    fwd = jax.jit(sn.ntt)
+    fwd = jax.jit(lambda xs: jnp.stack([sn.ntt(xs[i]) for i in range(xs.shape[0])]))
     y = fwd(xm)
     y.block_until_ready()
     best_ntt = None
