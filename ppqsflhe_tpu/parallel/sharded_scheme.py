@@ -24,9 +24,12 @@ Layout conventions (kernel eval order, matching ops/fourstep.py):
 - inside the shard_map body, locals are flattened back to (..., l, N/D) and
   fed to the ordinary eval.py ops.
 
-Galois rotations are the one op that is NOT coefficient-local (bin
-permutations cross shards) — use the replicated path for rotation-heavy
-circuits.
+Galois rotations are the one op that is NOT coefficient-local (the bin
+permutation crosses shards): :func:`rotate_sharded` /
+:func:`conjugate_sharded` handle it with exactly ONE ``all_gather`` over the
+coef axis per permuted poly (then each shard takes its own slice of the
+static global permutation), and :func:`rotate_hoisted_sharded` shares the
+sharded decompose+extend across a batch of rotations.
 """
 
 from __future__ import annotations
@@ -193,6 +196,117 @@ def re_encrypt_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
     ))
     out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(rekey.data, n1, n2))
     return Ciphertext(data=eval_flat(out), scale=ct.scale)
+
+
+def _automorphism_local(sctx: ShardedEvalContext, y, g: int):
+    """Galois automorphism X→X^g on a coefficient-sharded eval-domain poly,
+    called INSIDE the shard_map body (y: local flat (..., N/D) in
+    (n2, n1loc) order).
+
+    The bin permutation is global, so each shard all_gathers the full eval
+    vector once, then gathers only its own n1-column block of the static
+    permutation (new[k] = old[perm[k]], perm from
+    :meth:`CkksContext.galois_perm` which corrects for the four-step eval
+    order). One all_gather per poly; the permutation itself is free (static
+    gather indices)."""
+    n1, n2, D = sctx.n1, sctx.n2, sctx.D
+    n1loc = n1 // D
+    lead = y.shape[:-1]
+    ym = y.reshape(lead + (n2, n1loc))
+    gathered = jax.lax.all_gather(ym, sctx.axis)          # (D, ..., n2, n1loc)
+    full = jnp.moveaxis(gathered, 0, -2).reshape(lead + (n2 * n1,))
+    pm = np.asarray(sctx.galois_perm(g)).reshape(n2, n1)
+    i = jax.lax.axis_index(sctx.axis)
+    my_src = jax.lax.dynamic_slice_in_dim(jnp.asarray(pm, jnp.int32),
+                                          i * n1loc, n1loc, axis=1)
+    return jnp.take(full, my_src.reshape(-1), axis=-1)
+
+
+def rotate_sharded(sctx: ShardedEvalContext, ct: Ciphertext, r: int,
+                   rot_key: KeySwitchKey) -> Ciphertext:
+    """EvalRotate with both the automorphism and the key switch executed
+    coefficient-sharded (bit-exact vs eval.rotate on the replicated path)."""
+    n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
+    l = ct.nlimbs
+    g = ev.rot_to_galois(r, sctx.params.n)
+
+    def body(c_m, rk_m):
+        c = eval_flat(c_m)
+        rk = eval_flat(rk_m)
+        q, _, _ = sctx.limb_consts(sctx.q_idx(l))
+        c0p = _automorphism_local(sctx, c[0], g)
+        c1p = _automorphism_local(sctx, c[1], g)
+        d0, d1 = ev.keyswitch(sctx, c1p, KeySwitchKey(data=rk), l)
+        return eval_matrix(jnp.stack([modadd(c0p, d0, q), d1]),
+                           n1 // sctx.D, n2)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=sctx.mesh,
+        in_specs=(_eval_spec(4, ax), _eval_spec(5, ax)),
+        out_specs=_eval_spec(4, ax),
+    ))
+    out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(rot_key.data, n1, n2))
+    return Ciphertext(data=eval_flat(out), scale=ct.scale)
+
+
+def conjugate_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
+                      conj_key: KeySwitchKey) -> Ciphertext:
+    """EvalConj sharded (automorphism g = 2N−1)."""
+    n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
+    l = ct.nlimbs
+    g = 2 * sctx.params.n - 1
+
+    def body(c_m, rk_m):
+        c = eval_flat(c_m)
+        rk = eval_flat(rk_m)
+        q, _, _ = sctx.limb_consts(sctx.q_idx(l))
+        c0p = _automorphism_local(sctx, c[0], g)
+        c1p = _automorphism_local(sctx, c[1], g)
+        d0, d1 = ev.keyswitch(sctx, c1p, KeySwitchKey(data=rk), l)
+        return eval_matrix(jnp.stack([modadd(c0p, d0, q), d1]),
+                           n1 // sctx.D, n2)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=sctx.mesh,
+        in_specs=(_eval_spec(4, ax), _eval_spec(5, ax)),
+        out_specs=_eval_spec(4, ax),
+    ))
+    out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(conj_key.data, n1, n2))
+    return Ciphertext(data=eval_flat(out), scale=ct.scale)
+
+
+def rotate_hoisted_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
+                           rotations: Sequence[int], rot_keys: dict) -> list:
+    """Hoisted rotations, sharded: ONE sharded decompose+extend
+    (keyswitch_core), then per rotation the automorphism permutes the
+    extended digits/c0 (all_gather each) and the cheap inner product runs
+    per-shard. Mirrors eval.rotate_hoisted (automorphism commutes with the
+    coefficient-wise base extension)."""
+    n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
+    l = ct.nlimbs
+    gs = [ev.rot_to_galois(r, sctx.params.n) for r in rotations]
+
+    def body(c_m, *rk_ms):
+        c = eval_flat(c_m)
+        q, _, _ = sctx.limb_consts(sctx.q_idx(l))
+        digits = ev.keyswitch_core(sctx, c[1], l)
+        outs = []
+        for g, rk_m in zip(gs, rk_ms):
+            rk = KeySwitchKey(data=eval_flat(rk_m))
+            dig_rot = [_automorphism_local(sctx, d, g) for d in digits]
+            d0, d1 = ev.keyswitch_apply(sctx, dig_rot, rk, l)
+            c0p = _automorphism_local(sctx, c[0], g)
+            outs.append(jnp.stack([modadd(c0p, d0, q), d1]))
+        return tuple(eval_matrix(o, n1 // sctx.D, n2) for o in outs)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=sctx.mesh,
+        in_specs=(_eval_spec(4, ax),) + (_eval_spec(5, ax),) * len(rotations),
+        out_specs=(_eval_spec(4, ax),) * len(rotations),
+    ))
+    outs = fn(eval_matrix(ct.data, n1, n2),
+              *[eval_matrix(rot_keys[r].data, n1, n2) for r in rotations])
+    return [Ciphertext(data=eval_flat(o), scale=ct.scale) for o in outs]
 
 
 def _psum_mod(x, q, axis: str):

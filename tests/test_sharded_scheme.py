@@ -119,3 +119,38 @@ def test_fedavg_round_sharded_bitexact(setup):
         got = sch.decrypt(sk2, Ciphertext(jnp.asarray(agg[b]),
                                           scale=scale))
         np.testing.assert_allclose(got, (vs1[b] + vs2[b]) / 2, atol=1e-4)
+
+
+def test_rotate_sharded_bitexact(setup):
+    """Sharded Galois rotation (one all_gather for the cross-shard bin
+    permutation + sharded key switch) == replicated ev.rotate, bit-exact;
+    and it decrypts to the rolled plaintext."""
+    from ppqsflhe_tpu.parallel.sharded_scheme import (
+        conjugate_sharded, rotate_hoisted_sharded, rotate_sharded)
+
+    params, sch, mesh, sctx = setup
+    sk, pk = sch.keygen(jax.random.PRNGKey(40))
+    rots = [1, 3]
+    rot_keys = sch.rotation_key_gen(sk, rots, jax.random.PRNGKey(41))
+    v = np.random.default_rng(3).uniform(-1, 1, sch.encoder.slots)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(42))
+
+    for r in rots:
+        want = sch.rotate(ct, r, rot_keys)
+        got = rotate_sharded(sctx, ct, r, rot_keys[r])
+        np.testing.assert_array_equal(np.asarray(got.data),
+                                      np.asarray(want.data))
+        np.testing.assert_allclose(sch.decrypt(sk, got), np.roll(v, -r),
+                                   atol=1e-4)
+
+    # hoisted: one sharded decompose+extend shared across both rotations
+    want_h = sch.rotate_hoisted(ct, rots, rot_keys)
+    got_h = rotate_hoisted_sharded(sctx, ct, rots, rot_keys)
+    for w, g in zip(want_h, got_h):
+        np.testing.assert_array_equal(np.asarray(g.data), np.asarray(w.data))
+
+    ck = sch.conjugation_key_gen(sk, jax.random.PRNGKey(43))
+    want_c = sch.conjugate(ct, ck)
+    got_c = conjugate_sharded(sctx, ct, ck)
+    np.testing.assert_array_equal(np.asarray(got_c.data),
+                                  np.asarray(want_c.data))
