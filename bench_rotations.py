@@ -138,7 +138,7 @@ def main() -> None:
         return jnp.stack([o.data for o in outs])
 
     results = {}
-    outs_h = None
+    outs_h = outs_p = None
     for name, fn in (("plain", plain), ("hoisted", hoisted)):
         jf = jax.jit(fn)
         t0 = time.time()
@@ -159,6 +159,16 @@ def main() -> None:
               f"({len(ROTS)} rotations)", file=sys.stderr)
         if name == "hoisted":
             outs_h = np.asarray(out)
+        else:
+            outs_p = np.asarray(out)
+
+    # the timed plain path must agree bit-exactly with the hoisted one
+    # (automorphism commutes with decompose/extend), so the CPU decrypt
+    # check below covers BOTH paths — a regression in ev.rotate can't
+    # slip through unverified (ADVICE r2).
+    plain_matches = bool(np.array_equal(outs_p, outs_h))
+    print(f"[bench_rot] plain outputs bit-equal to hoisted: {plain_matches}",
+          file=sys.stderr)
 
     tmp = tempfile.mkdtemp(prefix="ppqsflhe_rot_")
     out_path = os.path.join(tmp, "outs.npz")
@@ -176,6 +186,8 @@ def main() -> None:
         "unit": "us",
         "plain_us": round(results["plain"], 1),
         "hoisting_speedup": round(results["plain"] / results["hoisted"], 2),
+        "correct": bool(err < 1e-3) and plain_matches,
+        "err": err,
     }))
 
 

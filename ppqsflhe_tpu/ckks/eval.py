@@ -143,10 +143,16 @@ def level_reduce(ctx: CkksContext, ct: Ciphertext, target_nlimbs: int) -> Cipher
 # Hybrid key switching
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _ks_decomp_consts(ctx_id: int, nlimbs: int):
-    """Per active-group constants [Q̂_j^{-1}]_{q_i} (i in group j)."""
-    ctx = _CTX_REGISTRY[ctx_id]
+def _ks_decomp_consts(ctx: CkksContext, nlimbs: int):
+    """Per active-group constants [Q̂_j^{-1}]_{q_i} (i in group j).
+
+    Cached on the context itself (not a module-global registry) so contexts
+    are garbage-collectable — long-running orchestrators that build many
+    schemes (param sweeps) must not leak key-switch precomputes.
+    """
+    cache = ctx._ks_decomp_cache
+    if nlimbs in cache:
+        return cache[nlimbs]
     L = ctx.params.num_q
     QF = 1
     for i in range(L):
@@ -166,16 +172,8 @@ def _ks_decomp_consts(ctx_id: int, nlimbs: int):
             np.array([primes.shoup_precompute(v, q) for v, q in zip(inv, qs)],
                      np.uint64).reshape(-1, 1),
         ))
+    cache[nlimbs] = (groups, out)
     return groups, out
-
-
-_CTX_REGISTRY: dict = {}
-
-
-def _register(ctx: CkksContext) -> int:
-    cid = id(ctx)
-    _CTX_REGISTRY[cid] = ctx
-    return cid
 
 
 def keyswitch_core(ctx: CkksContext, c_eval, nlimbs: int):
@@ -188,7 +186,7 @@ def keyswitch_core(ctx: CkksContext, c_eval, nlimbs: int):
     idx_q = ctx.q_idx(l)
     idx_p = ctx.p_idx()
     idx_ext = tuple(idx_q) + idx_p
-    groups, consts = _ks_decomp_consts(_register(ctx), l)
+    groups, consts = _ks_decomp_consts(ctx, l)
     c_coeff = ctx.intt(c_eval, idx_q)
     digits = []
     for g, (ghat_inv, ghat_inv_sh) in zip(groups, consts):
@@ -349,7 +347,17 @@ def mult(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext,
 
 
 def _match_scales_any(ct1, ct2):
+    """Operand check for ct×ct multiply: limbs truncate to the common level
+    and scales must agree to FLEXIBLEAUTO drift (Δ²/q vs Δ differs by <0.1%
+    for ~Δ-sized rescale primes).  A gross mismatch (e.g. a pre-rescale Δ²
+    operand against a fresh Δ one) is a caller bug — the product's noise
+    analysis no longer holds — so raise instead of silently producing a
+    result whose recorded scale masks the imbalance."""
     l = min(ct1.nlimbs, ct2.nlimbs)
+    if not np.isclose(ct1.scale, ct2.scale, rtol=0.05):
+        raise ValueError(
+            f"mult operand scale mismatch: {ct1.scale} vs {ct2.scale} "
+            "(rescale/level-adjust the larger operand first)")
     return ct1.data[:, :l], ct2.data[:, :l], l
 
 

@@ -171,11 +171,29 @@ def _const_stack(vals, fn=lambda x: x):
     return np.array([fn(v) for v in vals], np.uint64).reshape(-1, 1)
 
 
+class SecurityWarning(UserWarning):
+    """Raised (as a warning) when a context is built below 128-bit security."""
+
+
 class CkksContext:
     """Derived tables + lazily cached per-level precomputes."""
 
     def __init__(self, params: CkksParams):
         self.params = params
+        # The reference runs HEStd_NotSet (SURVEY.md §2.3) — parameters are
+        # taken as given — but silently accepting a sub-128-bit chain is a
+        # footgun, so surface the estimate at build time (genCC twin).
+        bits = params.security_bits()
+        if bits < 128:
+            import warnings
+
+            warnings.warn(
+                f"CKKS parameters (N={params.n}, log2(QP)="
+                f"{sum(int(q).bit_length() for q in params.q_moduli + params.p_moduli)}) "
+                f"fall below 128-bit HE-standard security (estimate: {bits}-bit)",
+                SecurityWarning,
+                stacklevel=2,
+            )
         self.moduli_qp = tuple(params.q_moduli) + tuple(params.p_moduli)
         roots = None
         if params.q_roots is not None:
@@ -198,6 +216,7 @@ class CkksContext:
         self._ext_cache: Dict[tuple, BaseExtender] = {}
         self._rescale_cache: Dict[int, tuple] = {}
         self._moddown_cache: Dict[int, tuple] = {}
+        self._ks_decomp_cache: Dict[int, tuple] = {}  # eval._ks_decomp_consts
 
         # Digit partition of Q limb indices for hybrid KS (fixed at keygen).
         L = params.num_q

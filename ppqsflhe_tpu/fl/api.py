@@ -181,9 +181,8 @@ def _encrypt_batch(sch: CkksScheme, pk, vecs: Sequence[np.ndarray], rng) -> List
     idx = sch.ctx.q_idx(l)
     moduli = [sch.ctx.moduli_qp[i] for i in idx]
     scale = sch.params.scale
-    rns = np.stack([
-        sch.encoder.to_rns(sch.encoder.encode(v, scale), moduli) for v in vecs
-    ])  # (B, l, n)
+    rns = sch.encoder.to_rns_batch(
+        sch.encoder.encode_batch(vecs, scale), moduli)  # (B, l, n)
     pts_eval = sch.ctx.ntt(jnp.asarray(rns), idx)
 
     def enc_one(pt_data, key):

@@ -34,7 +34,6 @@ sharded decompose+extend across a batch of rotations.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -84,6 +83,16 @@ class ShardedEvalContext(CkksContext):
         self._ct1 = stack("ct1")
         self._ct2 = stack("ct2")
         self._qs = np.array(self.moduli_qp, np.uint64)
+        # compiled shard_map entry points, keyed (op, galois-elt(s), nlimbs):
+        # building a fresh jit(shard_map(...)) per call would retrace the
+        # whole sharded keyswitch pipeline on every rotation (ADVICE r2).
+        self._jit_cache: dict = {}
+
+    def cached_jit(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = builder()
+        return fn
 
     # -- local-shard transforms (called from inside the shard_map body) ------
 
@@ -189,32 +198,34 @@ def re_encrypt_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
         return eval_matrix(jnp.stack([modadd(c[0], d0, q), d1]),
                            n1 // sctx.D, n2)
 
-    fn = jax.jit(jax.shard_map(
+    fn = sctx.cached_jit(("reenc", l), lambda: jax.jit(jax.shard_map(
         body, mesh=sctx.mesh,
         in_specs=(_eval_spec(4, ax), _eval_spec(5, ax)),
         out_specs=_eval_spec(4, ax),
-    ))
+    )))
     out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(rekey.data, n1, n2))
     return Ciphertext(data=eval_flat(out), scale=ct.scale)
 
 
-def _automorphism_local(sctx: ShardedEvalContext, y, g: int):
-    """Galois automorphism X→X^g on a coefficient-sharded eval-domain poly,
-    called INSIDE the shard_map body (y: local flat (..., N/D) in
-    (n2, n1loc) order).
-
-    The bin permutation is global, so each shard all_gathers the full eval
-    vector once, then gathers only its own n1-column block of the static
-    permutation (new[k] = old[perm[k]], perm from
-    :meth:`CkksContext.galois_perm` which corrects for the four-step eval
-    order). One all_gather per poly; the permutation itself is free (static
-    gather indices)."""
+def _gather_full(sctx: ShardedEvalContext, y):
+    """all_gather a local flat (..., N/D) eval-order poly into the full flat
+    (..., N) eval vector (called INSIDE the shard_map body). Split out of the
+    automorphism so a batch of rotations on the same poly gathers ONCE."""
     n1, n2, D = sctx.n1, sctx.n2, sctx.D
     n1loc = n1 // D
     lead = y.shape[:-1]
     ym = y.reshape(lead + (n2, n1loc))
     gathered = jax.lax.all_gather(ym, sctx.axis)          # (D, ..., n2, n1loc)
-    full = jnp.moveaxis(gathered, 0, -2).reshape(lead + (n2 * n1,))
+    return jnp.moveaxis(gathered, 0, -2).reshape(lead + (n2 * n1,))
+
+
+def _perm_local(sctx: ShardedEvalContext, full, g: int):
+    """This shard's n1-column block of the automorphism X→X^g applied to a
+    gathered full eval vector (new[k] = old[perm[k]], perm from
+    :meth:`CkksContext.galois_perm` which corrects for the four-step eval
+    order). The permutation itself is free (static gather indices)."""
+    n1, n2, D = sctx.n1, sctx.n2, sctx.D
+    n1loc = n1 // D
     pm = np.asarray(sctx.galois_perm(g)).reshape(n2, n1)
     i = jax.lax.axis_index(sctx.axis)
     my_src = jax.lax.dynamic_slice_in_dim(jnp.asarray(pm, jnp.int32),
@@ -222,57 +233,54 @@ def _automorphism_local(sctx: ShardedEvalContext, y, g: int):
     return jnp.take(full, my_src.reshape(-1), axis=-1)
 
 
+def _automorphism_local(sctx: ShardedEvalContext, y, g: int):
+    """Galois automorphism on a coefficient-sharded eval-domain poly: one
+    all_gather over the coef axis, then a static local slice of the global
+    bin permutation."""
+    return _perm_local(sctx, _gather_full(sctx, y), g)
+
+
+def _galois_keyswitch_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
+                              g: int, key: KeySwitchKey) -> Ciphertext:
+    """Shared body for sharded rotate/conjugate: automorphism X→X^g on both
+    components + one sharded key switch of c1' (compiled once per (g, l))."""
+    n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
+    l = ct.nlimbs
+
+    def build():
+        def body(c_m, rk_m):
+            c = eval_flat(c_m)
+            rk = eval_flat(rk_m)
+            q, _, _ = sctx.limb_consts(sctx.q_idx(l))
+            c0p = _automorphism_local(sctx, c[0], g)
+            c1p = _automorphism_local(sctx, c[1], g)
+            d0, d1 = ev.keyswitch(sctx, c1p, KeySwitchKey(data=rk), l)
+            return eval_matrix(jnp.stack([modadd(c0p, d0, q), d1]),
+                               n1 // sctx.D, n2)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=sctx.mesh,
+            in_specs=(_eval_spec(4, ax), _eval_spec(5, ax)),
+            out_specs=_eval_spec(4, ax),
+        ))
+
+    fn = sctx.cached_jit(("galois", g, l), build)
+    out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(key.data, n1, n2))
+    return Ciphertext(data=eval_flat(out), scale=ct.scale)
+
+
 def rotate_sharded(sctx: ShardedEvalContext, ct: Ciphertext, r: int,
                    rot_key: KeySwitchKey) -> Ciphertext:
     """EvalRotate with both the automorphism and the key switch executed
     coefficient-sharded (bit-exact vs eval.rotate on the replicated path)."""
-    n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
-    l = ct.nlimbs
-    g = ev.rot_to_galois(r, sctx.params.n)
-
-    def body(c_m, rk_m):
-        c = eval_flat(c_m)
-        rk = eval_flat(rk_m)
-        q, _, _ = sctx.limb_consts(sctx.q_idx(l))
-        c0p = _automorphism_local(sctx, c[0], g)
-        c1p = _automorphism_local(sctx, c[1], g)
-        d0, d1 = ev.keyswitch(sctx, c1p, KeySwitchKey(data=rk), l)
-        return eval_matrix(jnp.stack([modadd(c0p, d0, q), d1]),
-                           n1 // sctx.D, n2)
-
-    fn = jax.jit(jax.shard_map(
-        body, mesh=sctx.mesh,
-        in_specs=(_eval_spec(4, ax), _eval_spec(5, ax)),
-        out_specs=_eval_spec(4, ax),
-    ))
-    out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(rot_key.data, n1, n2))
-    return Ciphertext(data=eval_flat(out), scale=ct.scale)
+    return _galois_keyswitch_sharded(
+        sctx, ct, ev.rot_to_galois(r, sctx.params.n), rot_key)
 
 
 def conjugate_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
                       conj_key: KeySwitchKey) -> Ciphertext:
     """EvalConj sharded (automorphism g = 2N−1)."""
-    n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
-    l = ct.nlimbs
-    g = 2 * sctx.params.n - 1
-
-    def body(c_m, rk_m):
-        c = eval_flat(c_m)
-        rk = eval_flat(rk_m)
-        q, _, _ = sctx.limb_consts(sctx.q_idx(l))
-        c0p = _automorphism_local(sctx, c[0], g)
-        c1p = _automorphism_local(sctx, c[1], g)
-        d0, d1 = ev.keyswitch(sctx, c1p, KeySwitchKey(data=rk), l)
-        return eval_matrix(jnp.stack([modadd(c0p, d0, q), d1]),
-                           n1 // sctx.D, n2)
-
-    fn = jax.jit(jax.shard_map(
-        body, mesh=sctx.mesh,
-        in_specs=(_eval_spec(4, ax), _eval_spec(5, ax)),
-        out_specs=_eval_spec(4, ax),
-    ))
-    out = fn(eval_matrix(ct.data, n1, n2), eval_matrix(conj_key.data, n1, n2))
-    return Ciphertext(data=eval_flat(out), scale=ct.scale)
+    return _galois_keyswitch_sharded(sctx, ct, 2 * sctx.params.n - 1, conj_key)
 
 
 def rotate_hoisted_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
@@ -284,26 +292,35 @@ def rotate_hoisted_sharded(sctx: ShardedEvalContext, ct: Ciphertext,
     coefficient-wise base extension)."""
     n1, n2, ax = sctx.n1, sctx.n2, sctx.axis
     l = ct.nlimbs
-    gs = [ev.rot_to_galois(r, sctx.params.n) for r in rotations]
+    gs = tuple(ev.rot_to_galois(r, sctx.params.n) for r in rotations)
 
-    def body(c_m, *rk_ms):
-        c = eval_flat(c_m)
-        q, _, _ = sctx.limb_consts(sctx.q_idx(l))
-        digits = ev.keyswitch_core(sctx, c[1], l)
-        outs = []
-        for g, rk_m in zip(gs, rk_ms):
-            rk = KeySwitchKey(data=eval_flat(rk_m))
-            dig_rot = [_automorphism_local(sctx, d, g) for d in digits]
-            d0, d1 = ev.keyswitch_apply(sctx, dig_rot, rk, l)
-            c0p = _automorphism_local(sctx, c[0], g)
-            outs.append(jnp.stack([modadd(c0p, d0, q), d1]))
-        return tuple(eval_matrix(o, n1 // sctx.D, n2) for o in outs)
+    def build():
+        def body(c_m, *rk_ms):
+            c = eval_flat(c_m)
+            q, _, _ = sctx.limb_consts(sctx.q_idx(l))
+            digits = ev.keyswitch_core(sctx, c[1], l)
+            # gather the extended digits and c0 ONCE — identical across
+            # rotations, so hoist the all_gathers out of the g loop (the
+            # per-g work is then a free static permutation slice + the
+            # cheap inner product).
+            digits_full = [_gather_full(sctx, d) for d in digits]
+            c0_full = _gather_full(sctx, c[0])
+            outs = []
+            for g, rk_m in zip(gs, rk_ms):
+                rk = KeySwitchKey(data=eval_flat(rk_m))
+                dig_rot = [_perm_local(sctx, d, g) for d in digits_full]
+                d0, d1 = ev.keyswitch_apply(sctx, dig_rot, rk, l)
+                c0p = _perm_local(sctx, c0_full, g)
+                outs.append(jnp.stack([modadd(c0p, d0, q), d1]))
+            return tuple(eval_matrix(o, n1 // sctx.D, n2) for o in outs)
 
-    fn = jax.jit(jax.shard_map(
-        body, mesh=sctx.mesh,
-        in_specs=(_eval_spec(4, ax),) + (_eval_spec(5, ax),) * len(rotations),
-        out_specs=(_eval_spec(4, ax),) * len(rotations),
-    ))
+        return jax.jit(jax.shard_map(
+            body, mesh=sctx.mesh,
+            in_specs=(_eval_spec(4, ax),) + (_eval_spec(5, ax),) * len(rotations),
+            out_specs=(_eval_spec(4, ax),) * len(rotations),
+        ))
+
+    fn = sctx.cached_jit(("hoisted", gs, l), build)
     outs = fn(eval_matrix(ct.data, n1, n2),
               *[eval_matrix(rot_keys[r].data, n1, n2) for r in rotations])
     return [Ciphertext(data=eval_flat(o), scale=ct.scale) for o in outs]

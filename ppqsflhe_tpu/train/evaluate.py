@@ -14,8 +14,7 @@ import numpy as np
 import pandas as pd
 
 from . import data as D
-from . import gru
-from .trainer import calc_metrics, load_ckpt
+from .trainer import MODEL_FAMILIES, calc_metrics, load_ckpt, load_ckpt_meta
 
 
 def evaluate_rounds(cfg: Dict, out_dir: str | None = None, verbose: bool = True) -> pd.DataFrame:
@@ -41,12 +40,17 @@ def evaluate_rounds(cfg: Dict, out_dir: str | None = None, verbose: bool = True)
 
     for rnd, ck in enumerate(ckpts, start=1):
         params = load_ckpt(ck)
+        # dispatch on the checkpoint's recorded family (fallback: cfg, then
+        # gru for pre-tag checkpoints) — lstm/transformer params fed to
+        # gru.forward would silently produce garbage predictions.
+        family = load_ckpt_meta(ck) or cfg.get("model", "gru")
+        mdl = MODEL_FAMILIES[family]
 
         def run(X, y):
             if not len(X):
                 return None, None, {}
             pred = tscl.inverse(np.asarray(
-                gru.forward(params, jnp.asarray(X))).reshape(-1, 1)).flatten()
+                mdl.forward(params, jnp.asarray(X))).reshape(-1, 1)).flatten()
             truth = tscl.inverse(np.asarray(y).reshape(-1, 1)).flatten()
             return pred, truth, calc_metrics(truth, pred, truth.mean())
 
@@ -60,6 +64,10 @@ def evaluate_rounds(cfg: Dict, out_dir: str | None = None, verbose: bool = True)
             pd.DataFrame({"actual": te_truth, "predicted": te_pred}).to_csv(
                 os.path.join(out_dir, f"{client_id}_round{rnd}_predictions_{ts}.csv"),
                 index=False)
+            # per-round actual-vs-predicted plot (c_evalulate_rounds.py:151-206)
+            _plot_predictions(
+                te_truth, te_pred, client_id, rnd,
+                os.path.join(out_dir, f"{client_id}_round{rnd}_predictions_{ts}.png"))
         if verbose:
             print(f"[{client_id}] round {rnd}: {row}")
 
@@ -67,6 +75,25 @@ def evaluate_rounds(cfg: Dict, out_dir: str | None = None, verbose: bool = True)
     mdf.to_csv(os.path.join(out_dir, f"{client_id}_metrics_rounds_{ts}.csv"), index=False)
     _plot_rounds(mdf, client_id, os.path.join(out_dir, f"{client_id}_round_metrics_{ts}.png"))
     return mdf
+
+
+def _plot_predictions(truth, pred, client_id: str, rnd: int, path: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.plot(truth, label="actual", linewidth=1)
+    ax.plot(pred, label="predicted", linewidth=1)
+    ax.set_xlabel("test sample")
+    ax.legend()
+    ax.grid(True)
+    ax.set_title(f"Test predictions - {client_id} round {rnd}")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
 
 
 def _plot_rounds(mdf: pd.DataFrame, client_id: str, path: str) -> None:

@@ -143,7 +143,9 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
         if vl < best_val - 1e-12:
             best_val, best_params, best_epoch = vl, params, epoch
             if log_dir:  # best-checkpoint (ModelCheckpoint equivalent)
-                _save_ckpt(best_params, os.path.join(log_dir, f"{client_id}_best_{ts_tag}.npz"))
+                _save_ckpt(best_params,
+                           os.path.join(log_dir, f"{client_id}_best_{ts_tag}.npz"),
+                           model=cfg.get("model", "gru"))
         if epoch - best_epoch >= patience:
             break
     params = best_params
@@ -166,22 +168,32 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
         with open(weights_path, "w") as f:
             json.dump({"weights_summary": gru.params_to_summary(params)}, f)
     if cfg.get("model_file"):
-        _save_ckpt(params, cfg["model_file"])
+        _save_ckpt(params, cfg["model_file"], model=cfg.get("model", "gru"))
     if log_dir:
         _plot_loss(history, client_id, os.path.join(log_dir, f"{client_id}_loss_curve_{ts_tag}.png"))
     return TrainResult(params=params, history=history, metrics=metrics,
                        weights_path=weights_path)
 
 
-def _save_ckpt(params, path: str) -> None:
+def _save_ckpt(params, path: str, model: str = "gru") -> None:
     if not path.endswith(".npz"):
         path = path + ".npz" if "." not in os.path.basename(path) else path
-    np.savez(path, *[np.asarray(p) for p in params])
+    # __model__ records the family so offline evaluation (evaluate.py) can
+    # dispatch the right forward() — an lstm ckpt fed to gru.forward would
+    # produce garbage, not an error (params are an untyped list).
+    np.savez(path, *[np.asarray(p) for p in params], __model__=np.array(model))
 
 
 def load_ckpt(path: str) -> List[jnp.ndarray]:
     z = np.load(path)
-    return [jnp.asarray(z[k]) for k in z.files]
+    return [jnp.asarray(z[k]) for k in z.files if not k.startswith("__")]
+
+
+def load_ckpt_meta(path: str) -> str | None:
+    """Model-family tag of a checkpoint ('gru'/'lstm'/…), or None for
+    pre-tag checkpoints."""
+    z = np.load(path)
+    return str(z["__model__"]) if "__model__" in z.files else None
 
 
 def _plot_loss(history, client_id, path):
