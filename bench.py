@@ -216,32 +216,51 @@ def main() -> None:
     fn = jax.jit(server_round)
     t0 = time.time()
     agg, agg_in1 = fn(stack1, stack2, rk12, rk21)
-    jax.block_until_ready((agg, agg_in1))
+    np.asarray(agg[0, 0, 0, :4])     # host fetch = real sync (see below)
     print(f"[bench] server round compile+first run: {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # Per-round time from PIPELINED throughput (BASELINE.json's metric is
-    # encrypted-aggregation rounds/sec): queue R rounds, block once. A
-    # per-call sync through the axon tunnel costs ~20 ms that no local
-    # deployment would pay; sync latency is still logged for reference.
-    sync_times = []
-    for _ in range(5):
-        t0 = time.time()
-        agg, agg_in1 = fn(stack1, stack2, rk12, rk21)
-        jax.block_until_ready((agg, agg_in1))
-        sync_times.append(time.time() - t0)
-    best = None
-    for _ in range(3):
-        R = 10
-        t0 = time.time()
-        for _ in range(R):
-            agg, agg_in1 = fn(stack1, stack2, rk12, rk21)
-        jax.block_until_ready((agg, agg_in1))
-        dt = (time.time() - t0) / R
-        best = dt if best is None else min(best, dt)
-    ms = float(best * 1e3)
-    print(f"[bench] sync-latency median {np.median(sync_times)*1e3:.1f} ms; "
-          f"pipelined {ms:.1f} ms/round", file=sys.stderr)
+    # HONEST on-chip timing. Two facts about this environment (measured,
+    # docs/PERF.md): (a) block_until_ready on the axon tunnel backend
+    # returns BEFORE the computation finishes — only a device→host fetch
+    # truly synchronizes; (b) every executable call pays ~25 ms of tunnel
+    # dispatch no local deployment would pay. So: run R rounds INSIDE one
+    # jit (lax.scan with a carry perturbation that makes every round
+    # data-dependent on the previous one, and a full checksum so XLA cannot
+    # dead-code anything), fetch the 8-byte checksum, and report the
+    # MARGINAL cost between two R values — pure on-chip round time with the
+    # dispatch overhead differenced out.
+    def rounds_checksum(R):
+        def run(s1, s2, k12, k21):
+            def body(c, _):
+                s1p = s1.at[0, 0, 0, 0].set(
+                    (s1[0, 0, 0, 0] >> jnp.uint64(1)) + (c & jnp.uint64(1)))
+                a, b = server_round(s1p, s2, k12, k21)
+                chk = (a.astype(jnp.uint32).sum() +
+                       b.astype(jnp.uint32).sum()).astype(jnp.uint64)
+                return chk, None
+            c, _ = jax.lax.scan(body, jnp.uint64(0), None, length=R)
+            return c
+        return jax.jit(run)
+
+    def timed(R, reps=3):
+        jf = rounds_checksum(R)
+        np.asarray(jf(stack1, stack2, rk12, rk21))   # compile+warm
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(jf(stack1, stack2, rk12, rk21))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    r_lo, r_hi = 2, 12
+    t_lo, t_hi = timed(r_lo), timed(r_hi)
+    ms = float((t_hi - t_lo) / (r_hi - r_lo) * 1e3)
+    print(f"[bench] call(R={r_lo})={t_lo*1e3:.1f} ms, call(R={r_hi})="
+          f"{t_hi*1e3:.1f} ms -> on-chip {ms:.1f} ms/round "
+          f"(dispatch overhead {t_lo*1e3 - r_lo*ms:.1f} ms/call)",
+          file=sys.stderr)
 
     agg_path = os.path.join(tmp, "agg.npz")
     np.savez(agg_path, agg2=np.asarray(agg[2]), scale=np.float64(out_scale))

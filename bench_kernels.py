@@ -49,7 +49,9 @@ def main():
             "core": jax.jit(lambda a: basis.ntt(a)),
             "4step": jax.jit(lambda a: fs.ntt(a, implementation="xla")),
             "pallas": jax.jit(lambda a: fs.ntt(a, implementation="pallas")),
+            "mxu": jax.jit(lambda a: fs.ntt(a, implementation="mxu")),
         }
+        ref_out = None
         results = {}
         for name, fn in impls.items():
             try:
@@ -57,6 +59,11 @@ def main():
                 out = fn(xd)
                 jax.block_until_ready(out)
                 compile_s = time.time() - t0
+                if name == "4step":
+                    ref_out = np.asarray(out)
+                elif ref_out is not None and not np.array_equal(
+                        np.asarray(out), ref_out):
+                    raise AssertionError("output mismatch vs 4step")
                 reps = 20
                 t0 = time.time()
                 for _ in range(reps):

@@ -29,16 +29,41 @@ class OpenFhePoly:
     ring_dim: int
 
 
-def _tower_arrays(poly_node: dict) -> OpenFhePoly:
+def build_id_index(doc) -> dict:
+    """ptr_wrapper id (sans MSB) → data, for resolving cereal back-references
+    (shared pointers serialize data only at first use)."""
+    out = {}
+    stack = [doc]
+    while stack:
+        cur = stack.pop()
+        if isinstance(cur, dict):
+            if "id" in cur and "data" in cur:
+                out[int(cur["id"]) & 0x7FFFFFFF] = cur["data"]
+            stack.extend(cur.values())
+        elif isinstance(cur, list):
+            stack.extend(cur)
+    return out
+
+
+def _resolve_ptr(node: dict, ids: dict | None):
+    pw = node["ptr_wrapper"]
+    if "data" in pw:
+        return pw["data"]
+    if ids is None or (int(pw["id"]) & 0x7FFFFFFF) not in ids:
+        raise KeyError(f"unresolved ptr id {pw.get('id')}")
+    return ids[int(pw["id"]) & 0x7FFFFFFF]
+
+
+def _tower_arrays(poly_node: dict, ids: dict | None = None) -> OpenFhePoly:
     towers, moduli, roots = [], [], []
     for t in poly_node["v"]:
         data = t["v"]["ptr_wrapper"]["data"]
         towers.append(np.array([int(x) for x in data["v"]], dtype=np.uint64))
         moduli.append(int(data["m"]["v"]))
-        p = t["p"]["ptr_wrapper"]["data"]["value0"]
+        p = _resolve_ptr(t["p"], ids)["value0"]
         ru = p.get("ru")
         roots.append(int(ru["v"]) if isinstance(ru, dict) and "v" in ru else 0)
-    params = poly_node["p"]["ptr_wrapper"]["data"]["value0"]
+    params = _resolve_ptr(poly_node["p"], ids)["value0"]
     return OpenFhePoly(
         towers=np.stack(towers),
         moduli=moduli,
@@ -70,6 +95,30 @@ def load_secret_key(path: str) -> OpenFhePoly:
     if s is None or "v" not in s:
         raise ValueError(f"no secret poly found in {path}")
     return _tower_arrays(s)
+
+
+def load_public_key(path: str) -> List[OpenFhePoly]:
+    """PublicKey cereal-JSON (keyGen.cpp:45 format) → the two EVAL-format
+    DCRTPolys (b, a) of the "h" member."""
+    with open(path) as f:
+        doc = json.load(f)
+    h = _find_first(doc, "h")
+    if h is None:
+        raise ValueError(f"no public-key 'h' member in {path}")
+    ids = build_id_index(doc)
+    return [_tower_arrays(p, ids) for p in h]
+
+
+def load_eval_key(path: str) -> List[List[OpenFhePoly]]:
+    """EvalKey (PRE/relin) cereal-JSON (REkeyGen.cpp:60 format) → the "k"
+    member as [b_polys, a_polys] (EvalKeyRelinImpl.m_rKey layout)."""
+    with open(path) as f:
+        doc = json.load(f)
+    k = _find_first(doc, "k")
+    if k is None:
+        raise ValueError(f"no eval-key 'k' member in {path}")
+    ids = build_id_index(doc)
+    return [[_tower_arrays(p, ids) for p in row] for row in k]
 
 
 def load_context_params(path: str) -> dict:

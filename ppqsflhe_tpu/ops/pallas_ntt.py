@@ -48,6 +48,17 @@ class FourStepNtt:
         ])
         self.perm_to_std = kernel_to_std(n)          # std[b] = kernel[perm[b]]
         self.perm_from_std = np.argsort(self.perm_to_std)
+        self._psis = tuple(int(p) for p in psis)
+        self._mxu_tabs = {}                          # limb idx → MxuNttTables
+
+    def mxu_tables(self, i: int):
+        """Lazily-built digit-matmul tables for limb i (ops/mxu_ntt.py)."""
+        if i not in self._mxu_tabs:
+            from .mxu_ntt import MxuNttTables
+
+            self._mxu_tabs[i] = MxuNttTables.build(
+                self.n, self.moduli[i], self._psis[i])
+        return self._mxu_tabs[i]
 
     # -- shared body dispatch ----------------------------------------------
 
@@ -57,7 +68,14 @@ class FourStepNtt:
         x = x64.reshape((-1, L, self.n))
         sel = list(range(len(self.tabs))) if idx is None else list(idx)
         assert len(sel) == L, (len(sel), L)
-        if implementation == "pallas":
+        if implementation == "mxu":
+            from .mxu_ntt import mxu_intt_limb, mxu_ntt_limb
+
+            fn = mxu_ntt_limb if forward else mxu_intt_limb
+            out = jnp.stack(
+                [fn(x[:, k], self.mxu_tables(i)) for k, i in enumerate(sel)],
+                axis=1)
+        elif implementation == "pallas":
             stacked = self._stacked
             qpair = self._q
             if idx is not None:
