@@ -109,9 +109,88 @@ def run_one(n_dev: int) -> None:
         dt = (time.time() - t0) / REPS
         best_agg = dt if best_agg is None else min(best_agg, dt)
 
+    # --- 3. the FULL sharded server round (client × coef mesh) -------------
+    # Weak scaling over the coef axis: ciphertexts per client grow with D
+    # (per-device work constant), 2 clients as in the reference round.
+    import re
+
+    from ppqsflhe_tpu.ckks.params import CkksParams as _P
+    from ppqsflhe_tpu.parallel import sharded_scheme as ss
+
+    n_r = 1 << 12
+    p_r = _P.generate(n=n_r, mult_depth=2, scale_bits=40, dnum=2,
+                      ntt_backend="fourstep")
+    coef = n_dev
+    rmesh = make_mesh({"client": 1, "coef": coef})
+    sctx = ss.ShardedEvalContext(p_r, rmesh)
+    l = p_r.num_q
+    B = 2 * n_dev                        # per-device work constant
+    qs = np.array(p_r.q_moduli, np.uint64)
+    stacks = rng.integers(0, 1 << 59, size=(2, B, 2, l, n_r),
+                          dtype=np.uint64) % qs[None, None, None, :, None]
+    nd_k = len(sctx.digit_groups)
+    LK = l + p_r.num_p
+    rk = rng.integers(0, 1 << 59, size=(2, nd_k, 2, LK, n_r),
+                      dtype=np.uint64) % np.array(
+        sctx.moduli_qp, np.uint64)[None, None, None, :, None]
+
+    def round_fn():
+        return ss.fedavg_round_sharded(sctx, jnp.asarray(stacks),
+                                       jnp.asarray(rk[0]), jnp.asarray(rk[1]),
+                                       float(p_r.scale))
+
+    agg_out, back_out = round_fn()
+    jax.block_until_ready((agg_out, back_out))
+    best_round = None
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(max(1, REPS // 2)):
+            out = round_fn()
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / max(1, REPS // 2)
+        best_round = dt if best_round is None else min(best_round, dt)
+
+    # collective-volume accounting straight from the compiled HLO: every
+    # all-to-all / all-reduce / all-gather / collective-permute op's payload
+    # bytes — the falsifiable inputs to the ICI model in docs/PERF.md.
+    # fedavg_round_sharded caches its compiled shard_map on sctx; lower it
+    # with the same (matrix-view) args and scrape the optimized HLO.
+    coll_bytes = {}
+    try:
+        sm = ss.eval_matrix(jnp.asarray(stacks), sctx.n1, sctx.n2)
+        k1 = ss.eval_matrix(jnp.asarray(rk[0]), sctx.n1, sctx.n2)
+        k2 = ss.eval_matrix(jnp.asarray(rk[1]), sctx.n1, sctx.n2)
+        txt = "\n".join(
+            fn.lower(sm, k1, k2).compile().as_text()
+            for key, fn in sctx._jit_cache.items() if key[0] == "fedavg")
+        dtype_bytes = {"u64": 8, "s64": 8, "f64": 8, "u32": 4, "s32": 4,
+                       "f32": 4, "u8": 1, "s8": 1, "pred": 1}
+        for op in ("all-to-all", "all-reduce", "all-gather",
+                   "collective-permute"):
+            total = count = 0
+            for line in txt.splitlines():
+                # e.g. %all-to-all.12 = (u64[3,16,16]{...}, u64[...]) all-to-all(
+                if f" {op}(" not in line or "=" not in line:
+                    continue
+                lhs = line.split(f" {op}(")[0].split("=", 1)[-1]
+                sz = 0
+                for m in re.finditer(r"(\w+)\[([\d,]*)\]", lhs):
+                    s = dtype_bytes.get(m.group(1), 8)
+                    for dim in filter(None, m.group(2).split(",")):
+                        s *= int(dim)
+                    sz += s
+                total += sz
+                count += 1
+            coll_bytes[op] = {"ops": count, "bytes": total}
+    except Exception as e:  # pragma: no cover - accounting is best-effort
+        coll_bytes = {"error": str(e)[:120]}
+
     print(json.dumps({"devices": n_dev,
                       "ntt_ms": round(best_ntt * 1e3, 3),
-                      "agg_ms": round(best_agg * 1e3, 3)}))
+                      "agg_ms": round(best_agg * 1e3, 3),
+                      "round_ms": round(best_round * 1e3, 3),
+                      "round_cts": B,
+                      "collective_bytes": coll_bytes}))
 
 
 def main() -> None:
@@ -140,14 +219,19 @@ def main() -> None:
     dmax = DEVS[-1]
     # weak scaling: per-device work is constant, so efficiency = t(D0)/t(Dmax)
     eff = results[d0]["ntt_ms"] / results[dmax]["ntt_ms"]
+    eff_round = results[d0]["round_ms"] / results[dmax]["round_ms"]
     print(json.dumps({
         "metric": "weak_scaling_efficiency_ntt",
         "value": round(eff, 3),
+        "round_value": round(eff_round, 3),
         "unit": "fraction",
         "devices": DEVS,
         "platform": PLATFORM,
         "ntt_ms": {d: results[d]["ntt_ms"] for d in DEVS},
         "agg_ms": {d: results[d]["agg_ms"] for d in DEVS},
+        "round_ms": {d: results[d]["round_ms"] for d in DEVS},
+        "round_cts": {d: results[d]["round_cts"] for d in DEVS},
+        "collective_bytes": {d: results[d]["collective_bytes"] for d in DEVS},
         "note": ("virtual CPU mesh: 2 host cores emulate all devices, so time "
                  "grows ~linearly with D even at perfect weak scaling; run "
                  "with PPQSFLHE_SCALE_PLATFORM=tpu on a real slice for ICI "

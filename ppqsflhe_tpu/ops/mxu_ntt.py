@@ -101,11 +101,18 @@ def _shoup_quad(w: np.ndarray, q: int):
 
 @dataclass
 class _Recompose:
-    """Static per-modulus plan for plane recomposition (see module doc)."""
+    """Static per-modulus plan for plane recomposition (see module doc).
 
-    mode: str               # 'lazy' (no Barrett, output < 4q) | 'barrett'
-    split: int              # first plane of the high group ('lazy')
-    c_quad: tuple           # 2^{7·split} mod q Shoup quad ('lazy')
+    'redc' (the normal path): the digit matrices carry an extra factor
+    R = 2^{7·split} mod q, and recomposition is
+        Y ≡ REDC_R(Σ_{e<split} 2^{7e}·P_e) + Σ_{e≥split} 2^{7(e-split)}·P_e
+    — ONE Montgomery reduction by R ≤ 2^28 (two 32-bit widening multiplies)
+    instead of a Shoup or Barrett step; output < 4q (planner-verified).
+    'barrett' is the fallback for exotic moduli where the bounds fail."""
+
+    mode: str               # 'redc' | 'barrett'
+    split: int              # first plane of the high group ('redc')
+    qinv_r: int             # -q^{-1} mod 2^{7·split} ('redc')
     mu_pair: tuple          # ⌊2^64/q⌋ as u32 pair ('barrett')
 
 
@@ -168,25 +175,29 @@ class MxuNttTables:
 
         # recompose plan: plane magnitude bound from the widest contraction
         pmax = 127 * 127 * nd * max(n1, n2)
-        plan = None
-        for split in range(1, nd):
-            lo_max = sum(pmax << (DIGIT_BITS * e) for e in range(split))
-            hi_max = sum(pmax << (DIGIT_BITS * (e - split))
-                         for e in range(split, nd))
-            if lo_max < 4 * q and hi_max < 4 * q \
-                    and DIGIT_BITS * (split - 1) <= 38 \
-                    and DIGIT_BITS * (nd - 1 - split) <= 38:
-                c = pow(2, DIGIT_BITS * split, q)
-                plan = _Recompose(
-                    mode="lazy", split=split,
-                    c_quad=_shoup_quad(np.array([[c]], np.uint64), q),
-                    mu_pair=(np.uint32(0), np.uint32(0)))
-                break
-        if plan is None:
+        split = min(4, nd)                     # R = 2^{7·split} ≤ 2^28
+        r_bits = DIGIT_BITS * split
+        lo_max = sum(pmax << (DIGIT_BITS * e) for e in range(split))
+        hi_max = sum(pmax << (DIGIT_BITS * (e - split))
+                     for e in range(split, nd))
+        redc_fold = 1
+        if lo_max < (1 << r_bits) * q \
+                and (lo_max >> r_bits) + q + hi_max < 4 * q \
+                and DIGIT_BITS * (nd - 1 - split) <= 38:
+            plan = _Recompose(
+                mode="redc", split=split,
+                qinv_r=(-primes.mod_inverse(q % (1 << r_bits), 1 << r_bits))
+                % (1 << r_bits),
+                mu_pair=(np.uint32(0), np.uint32(0)))
+            redc_fold = pow(2, r_bits, q)      # folded into the matrices
+        else:
             mu = (1 << 64) // q
             plan = _Recompose(
-                mode="barrett", split=0, c_quad=(),
+                mode="barrett", split=0, qinv_r=0,
                 mu_pair=(np.uint32(mu & 0xFFFFFFFF), np.uint32(mu >> 32)))
+        if redc_fold != 1:
+            for m in (m1, m2, m2i, m1i):
+                m[...] = ((m.astype(object) * redc_fold) % q).astype(np.uint64)
 
         return MxuNttTables(
             n=n, n1=n1, n2=n2, q=q, nd=nd,
@@ -245,17 +256,33 @@ def _recompose(planes_i32, tabs: MxuNttTables):
             slo, shi = up.add64(slo, shi, tlo, thi)
         return slo, shi
 
-    if plan.mode == "lazy":
-        llo, lhi = group_sum(0, plan.split)
-        glo, ghi = group_sum(plan.split, nd)
-        q2lo, q2hi = tabs.q2_pair
-        # low group < 4q by construction; one csub(2q) → < 2q
-        llo, lhi = up.csub64(llo, lhi, q2lo, q2hi)
-        wlo, whi, wslo, wshi = plan.c_quad
-        hlo, hhi = up.shoup_mul64_lazy(glo, ghi, wlo, whi, wslo, wshi,
-                                       qlo, qhi)          # < 2q
-        return up.add64(llo, lhi, hlo, hhi)               # < 4q
-    # barrett: x < 2^63 → x - ⌊x·μ/2^64⌋·q ∈ [0, 2q)
+    if plan.mode == "redc":
+        # the matrices carry an extra 2^{7·split} mod q, cancelled here by
+        # ONE Montgomery reduction of the low plane group (R = 2^{7·split}):
+        #   u = (S_lo + m·q) >> 7s,  m = S_lo·(-q^{-1}) mod R
+        # u < S_lo/R + q; plus the high group (plain shifts) < 4q total.
+        rs = DIGIT_BITS * plan.split
+        mask = np.uint32((1 << rs) - 1)
+        slo, shi = group_sum(0, plan.split)
+        m = (slo & mask) * np.uint32(plan.qinv_r & 0xFFFFFFFF) & mask
+        h1, l1 = up.mul32_wide(m, qlo)
+        h2, l2 = up.mul32_wide(m, qhi)
+        w0 = slo + l1
+        c0 = (w0 < slo).astype(jnp.uint32)
+        t = shi + h1
+        c1 = (t < shi).astype(jnp.uint32)
+        t2 = t + l2
+        c1 = c1 + (t2 < t).astype(jnp.uint32)
+        w1 = t2 + c0
+        c1 = c1 + (w1 < t2).astype(jnp.uint32)
+        w2 = h2 + c1
+        ulo = (w0 >> rs) | (w1 << (32 - rs))
+        uhi = (w1 >> rs) | (w2 << (32 - rs))
+        if plan.split < nd:
+            glo, ghi = group_sum(plan.split, nd)
+            return up.add64(ulo, uhi, glo, ghi)
+        return ulo, uhi
+    # barrett fallback: x < 2^63 → x - ⌊x·μ/2^64⌋·q ∈ [0, 2q)
     slo, shi = group_sum(0, nd)
     mlo, mhi = plan.mu_pair
     hlo, hhi = up.mulhi64(slo, shi, mlo, mhi)

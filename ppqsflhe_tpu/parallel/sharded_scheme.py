@@ -381,12 +381,14 @@ def fedavg_round_sharded(sctx: ShardedEvalContext, stacks, rk12, rk21,
         return (eval_matrix(jnp.stack(outs_a), n1 // sctx.D, n2),
                 eval_matrix(jnp.stack(outs_b), n1 // sctx.D, n2))
 
-    fn = jax.jit(jax.shard_map(
-        body, mesh=sctx.mesh,
-        in_specs=(P(client_axis, None, None, None, None, ax),
-                  _eval_spec(5, ax), _eval_spec(5, ax)),
-        out_specs=(_eval_spec(5, ax), _eval_spec(5, ax)),
-    ))
+    fn = sctx.cached_jit(
+        ("fedavg", client_axis, n_clients, B, l, float(scale)),
+        lambda: jax.jit(jax.shard_map(
+            body, mesh=sctx.mesh,
+            in_specs=(P(client_axis, None, None, None, None, ax),
+                      _eval_spec(5, ax), _eval_spec(5, ax)),
+            out_specs=(_eval_spec(5, ax), _eval_spec(5, ax)),
+        )))
     agg_m, back_m = fn(eval_matrix(stacks, n1, n2),
                        eval_matrix(rk12, n1, n2), eval_matrix(rk21, n1, n2))
     return eval_flat(agg_m), eval_flat(back_m)

@@ -124,3 +124,46 @@ def test_pallas_interpret_matches_xla(setup):
     with pltpu.force_tpu_interpret_mode():
         back_p = np.asarray(fs.intt(jnp.asarray(fwd_x), implementation="pallas"))
     assert (back_p == x).all()
+
+
+def test_mxu_backend_bitexact():
+    """The int8 digit-matmul MXU backend (ops/mxu_ntt.py) is bit-exact
+    interchangeable with the four-step XLA path (same kernel eval order),
+    for strict AND Harvey-lazy (< 4q) inputs, across modulus widths
+    (60/40/20-bit: redc and fallback recompose plans)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppqsflhe_tpu.core import primes
+    from ppqsflhe_tpu.core.ntt import NttBasis
+    from ppqsflhe_tpu.ops.mxu_ntt import MxuNttTables, mxu_intt_limb, mxu_ntt_limb
+    from ppqsflhe_tpu.ops.pallas_ntt import FourStepNtt
+
+    n = 256
+    moduli = ([primes.first_prime_down(60, 2 * n)]
+              + primes.prime_chain(40, 2, 2 * n)
+              + [primes.next_prime_up(1 << 19, 2 * n)])
+    basis = NttBasis(n, tuple(moduli))
+    fs = FourStepNtt(n, moduli, basis.psis)
+    tabs = [MxuNttTables.build(n, q, int(p)) for q, p in zip(moduli, basis.psis)]
+    rng = np.random.default_rng(7)
+    x = np.stack([rng.integers(0, q, size=(3, n), dtype=np.uint64)
+                  for q in moduli], axis=1)
+    ref = np.asarray(fs.ntt(jnp.asarray(x), implementation="xla"))
+    out = np.stack([np.asarray(mxu_ntt_limb(jnp.asarray(x[:, i]), tabs[i]))
+                    for i in range(len(moduli))], axis=1)
+    assert np.array_equal(ref, out)
+    # inverse + roundtrip
+    iout = np.stack([np.asarray(mxu_intt_limb(jnp.asarray(ref[:, i]), tabs[i]))
+                     for i in range(len(moduli))], axis=1)
+    assert np.array_equal(iout, x)
+    # lazy inputs (residues + q, the Harvey invariant) give identical output
+    x4 = x + np.array(moduli, np.uint64)[None, :, None]
+    out4 = np.stack([np.asarray(mxu_ntt_limb(jnp.asarray(x4[:, i]), tabs[i]))
+                     for i in range(len(moduli))], axis=1)
+    assert np.array_equal(out4, out)
+    # dispatch through FourStepNtt (the scheme integration point)
+    via = np.asarray(fs.ntt(jnp.asarray(x), implementation="mxu"))
+    assert np.array_equal(via, ref)
+    via_i = np.asarray(fs.intt(jnp.asarray(ref), implementation="mxu"))
+    assert np.array_equal(via_i, x)
