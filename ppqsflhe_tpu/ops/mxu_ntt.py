@@ -173,24 +173,31 @@ class MxuNttTables:
         t1 = _pow_table(psi, 2 * np.outer(rev1, j2), q)
         t1i = _pow_table(psi, -2 * np.outer(j2, rev1), q)
 
-        # recompose plan: plane magnitude bound from the widest contraction
+        # recompose plan: plane magnitude bound from the widest contraction.
+        # split=4 is tried FIRST (even when nd < 4 — the high group is then
+        # empty and the single REDC covers everything) so every limb of a
+        # chain shares one plan — the fused Pallas kernel
+        # (ops/pallas_mxu_ntt.py) needs a uniform layout.
         pmax = 127 * 127 * nd * max(n1, n2)
-        split = min(4, nd)                     # R = 2^{7·split} ≤ 2^28
-        r_bits = DIGIT_BITS * split
-        lo_max = sum(pmax << (DIGIT_BITS * e) for e in range(split))
-        hi_max = sum(pmax << (DIGIT_BITS * (e - split))
-                     for e in range(split, nd))
         redc_fold = 1
-        if lo_max < (1 << r_bits) * q \
-                and (lo_max >> r_bits) + q + hi_max < 4 * q \
-                and DIGIT_BITS * (nd - 1 - split) <= 38:
-            plan = _Recompose(
-                mode="redc", split=split,
-                qinv_r=(-primes.mod_inverse(q % (1 << r_bits), 1 << r_bits))
-                % (1 << r_bits),
-                mu_pair=(np.uint32(0), np.uint32(0)))
-            redc_fold = pow(2, r_bits, q)      # folded into the matrices
-        else:
+        plan = None
+        for split in (4, 3, 2, 1):
+            r_bits = DIGIT_BITS * split
+            lo_max = sum(pmax << (DIGIT_BITS * e)
+                         for e in range(min(split, nd)))
+            hi_max = sum(pmax << (DIGIT_BITS * (e - split))
+                         for e in range(split, nd))
+            if lo_max < (1 << r_bits) * q \
+                    and (lo_max >> r_bits) + q + hi_max < 4 * q \
+                    and DIGIT_BITS * max(0, nd - 1 - split) <= 38:
+                plan = _Recompose(
+                    mode="redc", split=split,
+                    qinv_r=(-primes.mod_inverse(q % (1 << r_bits),
+                                                1 << r_bits)) % (1 << r_bits),
+                    mu_pair=(np.uint32(0), np.uint32(0)))
+                redc_fold = pow(2, r_bits, q)  # folded into the matrices
+                break
+        if plan is None:
             mu = (1 << 64) // q
             plan = _Recompose(
                 mode="barrett", split=0, qinv_r=0,
@@ -263,7 +270,7 @@ def _recompose(planes_i32, tabs: MxuNttTables):
         # u < S_lo/R + q; plus the high group (plain shifts) < 4q total.
         rs = DIGIT_BITS * plan.split
         mask = np.uint32((1 << rs) - 1)
-        slo, shi = group_sum(0, plan.split)
+        slo, shi = group_sum(0, min(plan.split, nd))
         m = (slo & mask) * np.uint32(plan.qinv_r & 0xFFFFFFFF) & mask
         h1, l1 = up.mul32_wide(m, qlo)
         h2, l2 = up.mul32_wide(m, qhi)

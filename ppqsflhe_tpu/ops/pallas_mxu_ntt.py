@@ -1,0 +1,236 @@
+"""Fused Pallas kernel for the MXU digit-matmul NTT (ops/mxu_ntt.py).
+
+The plain-XLA mxu path materializes the int32 digit planes to HBM between
+the matmul and the recompose (~4.5× the payload, twice per transform) —
+at N=2^14 that HBM traffic, not compute, is the bound. This kernel keeps
+the whole pipeline in VMEM per (ciphertext, limb) grid cell:
+
+    digitize → int8 MXU dot → REDC recompose → twiddle → transpose →
+    digitize → int8 MXU dot → REDC recompose → strict csub
+
+All tables are padded to a UNIFORM digit count nd_max across limbs (a
+40-bit limb's digits 6..8 of any value < 4q are structurally zero, and its
+padded matrix digit-slices are zero, so the padded planes contribute
+nothing) — one kernel shape serves the whole chain, grid=(B, L).
+
+Matrices live in VMEM as (nd·m, nd·m) int8 — 1.3 MB per stage at N=2^14 —
+so this kernel targets N ≤ 2^15; at N=2^16 the tables alone exceed VMEM
+and the plain-XLA mxu path (already MXU-bound there) stays the right tool.
+
+The arithmetic bodies are the SAME jnp-on-u32-pair helpers as the XLA path
+(mxu_ntt._digitize/_recompose etc. operate on refs' loaded values
+unchanged), so outputs are bit-exact across implementations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mxu_ntt as M
+from . import u32pair as up
+
+
+def _pad_tables(tabs: "M.MxuNttTables", nd_max: int):
+    """Pad a limb's int8 matrices to the uniform nd_max layout:
+    (nd·m, nd·m) with plane-major rows and digit-major contraction."""
+
+    def pad(a, m_out, m_in):
+        # a: (nd, m_out, nd·m_in) → (nd_max·m_out, nd_max·m_in)
+        nd = a.shape[0]
+        out = np.zeros((nd_max * m_out, nd_max * m_in), np.int8)
+        for e in range(nd):
+            out[e * m_out : (e + 1) * m_out, : nd * m_in] = a[e]
+        return out
+
+    n1, n2 = tabs.n1, tabs.n2
+    return {
+        "a1": pad(tabs.a1, n1, n1), "a2": pad(tabs.a2, n2, n2),
+        "a2i": pad(tabs.a2i, n2, n2), "a1i": pad(tabs.a1i, n1, n1),
+    }
+
+
+def _kernel_digitize(lo, hi, nd: int):
+    """u32 pair (m, c) → int8 (nd·m, c), digit-major rows."""
+    digs = []
+    for d in range(nd):
+        s = M.DIGIT_BITS * d
+        if s + M.DIGIT_BITS <= 32:
+            v = (lo >> s) & M.DIGIT_MASK
+        elif s >= 32:
+            v = (hi >> (s - 32)) & M.DIGIT_MASK
+        else:
+            v = ((lo >> s) | (hi << (32 - s))) & M.DIGIT_MASK
+        digs.append(v.astype(jnp.int8))
+    return jnp.concatenate(digs, axis=0)
+
+
+def _kernel_recompose(planes_i32, m: int, nd: int, split: int,
+                      qinv_r, qlo, qhi):
+    """(nd·m, c) i32 planes → u32 pair (m, c) < 4q (uniform REDC plan:
+    split=4, matrices carry 2^{28} mod q)."""
+    rs = M.DIGIT_BITS * split
+    mask = np.uint32((1 << rs) - 1)
+    p = planes_i32.astype(jnp.uint32)
+
+    def plane(e):
+        return p[e * m : (e + 1) * m, :]
+
+    def shl(x, s):
+        if s == 0:
+            return x, jnp.zeros_like(x)
+        if s >= 32:
+            return jnp.zeros_like(x), x << (s - 32)
+        return x << s, x >> (32 - s)
+
+    slo, shi = shl(plane(0), 0)
+    for e in range(1, split):
+        tlo, thi = shl(plane(e), M.DIGIT_BITS * e)
+        slo, shi = up.add64(slo, shi, tlo, thi)
+    m_ = (slo & mask) * qinv_r & mask
+    h1, l1 = up.mul32_wide(m_, qlo)
+    h2, l2 = up.mul32_wide(m_, qhi)
+    w0 = slo + l1
+    c0 = (w0 < slo).astype(jnp.uint32)
+    t = shi + h1
+    c1 = (t < shi).astype(jnp.uint32)
+    t2 = t + l2
+    c1 = c1 + (t2 < t).astype(jnp.uint32)
+    w1 = t2 + c0
+    c1 = c1 + (w1 < t2).astype(jnp.uint32)
+    w2 = h2 + c1
+    ulo = (w0 >> rs) | (w1 << (32 - rs))
+    uhi = (w1 >> rs) | (w2 << (32 - rs))
+    glo, ghi = shl(plane(split), 0)
+    for e in range(split + 1, nd):
+        tlo, thi = shl(plane(e), M.DIGIT_BITS * (e - split))
+        glo, ghi = up.add64(glo, ghi, tlo, thi)
+    return up.add64(ulo, uhi, glo, ghi)
+
+
+class PallasMxuNtt:
+    """Fused-kernel runner over a modulus chain (uniform padded layout)."""
+
+    def __init__(self, n: int, moduli, psis):
+        self.n = n
+        self.tabs = [M.MxuNttTables.build(n, int(q), int(p))
+                     for q, p in zip(moduli, psis)]
+        self.n1, self.n2 = self.tabs[0].n1, self.tabs[0].n2
+        self.nd = max(t.nd for t in self.tabs)
+        for t in self.tabs:
+            if t.plan.mode != "redc" or t.plan.split != 4:
+                raise ValueError("uniform kernel needs the redc/4 plan")
+        self.split = 4
+        padded = [_pad_tables(t, self.nd) for t in self.tabs]
+        self._mats = {
+            k: np.stack([p[k] for p in padded]) for k in ("a1", "a2", "a2i", "a1i")
+        }
+        quad = lambda name: tuple(
+            np.stack([np.asarray(getattr(t, name)[i]) for t in self.tabs])
+            for i in range(4))
+        self._t1 = quad("t1")           # each (L, n1, n2) u32
+        self._t1i = quad("t1i")         # each (L, n2, n1)
+        self._q = (np.stack([np.array([[t.q_pair[0]]], np.uint32) for t in self.tabs]),
+                   np.stack([np.array([[t.q_pair[1]]], np.uint32) for t in self.tabs]))
+        self._q2 = (np.stack([np.array([[t.q2_pair[0]]], np.uint32) for t in self.tabs]),
+                    np.stack([np.array([[t.q2_pair[1]]], np.uint32) for t in self.tabs]))
+        self._qinv = np.stack([
+            np.array([[np.uint32(t.plan.qinv_r & 0xFFFFFFFF)]], np.uint32)
+            if t.plan.mode == "redc" else np.array([[0]], np.uint32)
+            for t in self.tabs])
+
+    def _run(self, x64, forward: bool, idx=None, interpret: bool = False):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L = x64.shape[-2]
+        lead = x64.shape[:-2]
+        x = x64.reshape((-1, L, self.n))
+        B = x.shape[0]
+        sel = list(range(len(self.tabs))) if idx is None else list(idx)
+        assert len(sel) == L
+        n1, n2, nd, split = self.n1, self.n2, self.nd, self.split
+
+        m_a = ("a1", "a2") if forward else ("a2i", "a1i")
+        mats = [jnp.asarray(self._mats[k][sel]) for k in m_a]
+        tquad = [jnp.asarray(a[sel]) for a in (self._t1 if forward else self._t1i)]
+        qlo_a, qhi_a = (jnp.asarray(a[sel]) for a in self._q)
+        q2lo_a, q2hi_a = (jnp.asarray(a[sel]) for a in self._q2)
+        qinv_a = jnp.asarray(self._qinv[sel])
+
+        shape_in = (n1, n2) if forward else (n2, n1)
+        shape_out = (n2, n1) if forward else (n1, n2)
+        xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(B, L, *shape_in)
+        xhi = (x >> jnp.uint64(32)).astype(jnp.uint32).reshape(B, L, *shape_in)
+
+        Z = np.int32(0)
+        m1_dim = shape_in[0]            # first-stage transform size
+        m2_dim = shape_out[0]           # second-stage transform size
+
+        def kernel(xlo_ref, xhi_ref, a_first_ref, a_second_ref,
+                   tlo_ref, thi_ref, tslo_ref, tshi_ref,
+                   qlo_ref, qhi_ref, q2lo_ref, q2hi_ref, qinv_ref,
+                   olo_ref, ohi_ref):
+            qlo = qlo_ref[0, 0, 0]
+            qhi = qhi_ref[0, 0, 0]
+            q2lo = q2lo_ref[0, 0, 0]
+            q2hi = q2hi_ref[0, 0, 0]
+            qinv = qinv_ref[0, 0, 0]
+            lo = xlo_ref[0, 0]
+            hi = xhi_ref[0, 0]
+            # stage 1
+            d1 = _kernel_digitize(lo, hi, nd)                 # (nd·m1, c)
+            p1 = jnp.dot(a_first_ref[0], d1,
+                         preferred_element_type=jnp.int32)     # (nd·m1, c)
+            lo, hi = _kernel_recompose(p1, m1_dim, nd, split, qinv, qlo, qhi)
+            # twiddle (lazy shoup: inputs < 4q, output < 2q)
+            lo, hi = up.shoup_mul64_lazy(
+                lo, hi, tlo_ref[0], thi_ref[0], tslo_ref[0], tshi_ref[0],
+                qlo, qhi)
+            # transpose to stage-2 layout
+            lo = lo.T
+            hi = hi.T
+            # stage 2
+            d2 = _kernel_digitize(lo, hi, nd)                 # (nd·m2, c)
+            p2 = jnp.dot(a_second_ref[0], d2,
+                         preferred_element_type=jnp.int32)
+            lo, hi = _kernel_recompose(p2, m2_dim, nd, split, qinv, qlo, qhi)
+            lo, hi = up.csub64(lo, hi, q2lo, q2hi)
+            lo, hi = up.csub64(lo, hi, qlo, qhi)
+            olo_ref[0, 0] = lo
+            ohi_ref[0, 0] = hi
+
+        def bspec(shape, has_batch):
+            if has_batch:
+                return pl.BlockSpec((1, 1) + shape, lambda b, l: (b, l, Z, Z),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((1,) + shape, lambda b, l: (l, Z, Z),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            bspec(shape_in, True), bspec(shape_in, True),
+            bspec(mats[0].shape[1:], False), bspec(mats[1].shape[1:], False),
+        ] + [bspec(tquad[0].shape[1:], False)] * 4 + [
+            bspec((1, 1), False)] * 5
+        out_specs = (bspec(shape_out, True), bspec(shape_out, True))
+
+        olo, ohi = pl.pallas_call(
+            kernel,
+            grid=(B, L),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32),
+                jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32),
+            ),
+            interpret=interpret,
+        )(xlo, xhi, *mats, *tquad, qlo_a, qhi_a, q2lo_a, q2hi_a, qinv_a)
+        out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
+        return out.reshape(lead + (L, self.n))
+
+    def ntt(self, x64, idx=None, interpret: bool = False):
+        return self._run(x64, True, idx, interpret)
+
+    def intt(self, x64, idx=None, interpret: bool = False):
+        return self._run(x64, False, idx, interpret)

@@ -50,6 +50,17 @@ class FourStepNtt:
         self.perm_from_std = np.argsort(self.perm_to_std)
         self._psis = tuple(int(p) for p in psis)
         self._mxu_tabs = {}                          # limb idx → MxuNttTables
+        self._pmxu = None                            # lazy PallasMxuNtt
+
+    def pallas_mxu(self):
+        """Lazily-built fused Pallas MXU-NTT runner (ops/pallas_mxu_ntt.py).
+        Raises ValueError for chains without the uniform redc/4 plan —
+        callers fall back to implementation='mxu'."""
+        if self._pmxu is None:
+            from .pallas_mxu_ntt import PallasMxuNtt
+
+            self._pmxu = PallasMxuNtt(self.n, self.moduli, self._psis)
+        return self._pmxu
 
     def mxu_tables(self, i: int):
         """Lazily-built digit-matmul tables for limb i (ops/mxu_ntt.py)."""
@@ -68,7 +79,10 @@ class FourStepNtt:
         x = x64.reshape((-1, L, self.n))
         sel = list(range(len(self.tabs))) if idx is None else list(idx)
         assert len(sel) == L, (len(sel), L)
-        if implementation == "mxu":
+        if implementation == "pallas_mxu":
+            pm = self.pallas_mxu()
+            out = (pm.ntt if forward else pm.intt)(x, idx=tuple(sel))
+        elif implementation == "mxu":
             from .mxu_ntt import mxu_intt_limb, mxu_ntt_limb
 
             fn = mxu_ntt_limb if forward else mxu_intt_limb

@@ -167,3 +167,35 @@ def test_mxu_backend_bitexact():
     assert np.array_equal(via, ref)
     via_i = np.asarray(fs.intt(jnp.asarray(ref), implementation="mxu"))
     assert np.array_equal(via_i, x)
+
+
+def test_pallas_mxu_kernel_bitexact_interpret():
+    """The fused Pallas MXU kernel (ops/pallas_mxu_ntt.py) is bit-exact vs
+    the XLA four-step path, in Pallas interpret mode (the TPU compile path
+    is exercised by bench_kernels.py on hardware). Covers forward, inverse
+    and limb-subset calls across 60/40/20-bit moduli (uniform redc/4)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppqsflhe_tpu.core import primes
+    from ppqsflhe_tpu.core.ntt import NttBasis
+    from ppqsflhe_tpu.ops.pallas_mxu_ntt import PallasMxuNtt
+    from ppqsflhe_tpu.ops.pallas_ntt import FourStepNtt
+
+    n = 256
+    moduli = ([primes.first_prime_down(60, 2 * n)]
+              + primes.prime_chain(40, 2, 2 * n)
+              + [primes.next_prime_up(1 << 19, 2 * n)])
+    basis = NttBasis(n, tuple(moduli))
+    fs = FourStepNtt(n, moduli, basis.psis)
+    pm = PallasMxuNtt(n, moduli, basis.psis)
+    rng = np.random.default_rng(11)
+    x = np.stack([rng.integers(0, q, size=(3, n), dtype=np.uint64)
+                  for q in moduli], axis=1)
+    ref = np.asarray(fs.ntt(jnp.asarray(x), implementation="xla"))
+    out = np.asarray(pm.ntt(jnp.asarray(x), interpret=True))
+    assert np.array_equal(out, ref)
+    iout = np.asarray(pm.intt(jnp.asarray(ref), interpret=True))
+    assert np.array_equal(iout, x)
+    sub = np.asarray(pm.ntt(jnp.asarray(x[:, :2]), idx=(0, 1), interpret=True))
+    assert np.array_equal(sub, ref[:, :2])
