@@ -64,27 +64,17 @@ def modneg(a, q):
     return jnp.where(a == 0, a, q - a)
 
 
-def _pair(x):
-    """u64 → (lo, hi) u32 pair. The multiply cores below run on explicit
-    u32 lanes: XLA's own u64 emulation benches ~5× slower than the same
-    math written on u32 pairs (docs/PERF.md), and the split/join bitcasts
-    fuse away."""
-    return (x & _M32).astype(jnp.uint32), (x >> _32).astype(jnp.uint32)
-
-
-def _join(lo, hi):
-    return lo.astype(U64) | (hi.astype(U64) << _32)
-
-
 def mont_mul(a, b, q, qinv_neg):
     """Montgomery product a*b*R^{-1} mod q (R = 2^64), inputs reduced mod q.
 
     ``qinv_neg`` = -q^{-1} mod 2^64 (``primes.mont_qinv_neg``).
     """
-    from ..ops import u32pair as up
-
-    lo, hi = up.mont_mul64(*_pair(a), *_pair(b), *_pair(q), *_pair(qinv_neg))
-    return _join(lo, hi)
+    t_hi, t_lo = _mul128(a, b)
+    m = t_lo * qinv_neg  # low 64 bits; m*q ≡ -t_lo (mod 2^64)
+    mq_hi, _ = _mul128(m, q)
+    carry = (t_lo != 0).astype(U64)  # t_lo + mq_lo is 0 or exactly 2^64
+    u = t_hi + mq_hi + carry
+    return jnp.where(u >= q, u - q, u)
 
 
 def modmul(a, b, q, qinv_neg, r2):
@@ -98,10 +88,9 @@ def shoup_mul(a, w, w_shoup, q):
     w_shoup = floor(w * 2^64 / q) (``primes.shoup_precompute``). Requires
     a < q and q < 2^63.
     """
-    from ..ops import u32pair as up
-
-    lo, hi = up.shoup_mul64(*_pair(a), *_pair(w), *_pair(w_shoup), *_pair(q))
-    return _join(lo, hi)
+    hi = mul_hi(a, w_shoup)
+    r = a * w - hi * q  # low 64 bits; r in [0, 2q)
+    return jnp.where(r >= q, r - q, r)
 
 
 def modpow_const(a, e: int, q, qinv_neg, r2):
