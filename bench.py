@@ -35,7 +35,9 @@ sys.path.insert(0, REPO)
 
 BASELINE_SERVER_CRYPTO_MS = 8000.0
 BACKEND = os.environ.get("PPQSFLHE_BENCH_BACKEND", "fourstep")
-IMPL = os.environ.get("PPQSFLHE_BENCH_IMPL", "xla")
+# default: the fused Pallas MXU-NTT kernel (4.9 ms/round on-chip vs 7.3 for
+# 'xla' — docs/PERF.md); override with PPQSFLHE_BENCH_IMPL=xla|mxu|pallas
+IMPL = os.environ.get("PPQSFLHE_BENCH_IMPL", "pallas_mxu")
 N = 1 << 14
 
 

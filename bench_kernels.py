@@ -65,6 +65,9 @@ def main():
             "mxu": lambda a: jnp.stack(
                 [M.mxu_ntt_limb(a[:, i], mtabs[i]) for i in range(L)], axis=1),
         }
+        if n <= 1 << 15:   # fused-kernel VMEM budget (docs/PERF.md)
+            impls["pallas_mxu"] = lambda a: fs.ntt(
+                a, implementation="pallas_mxu")
 
         def scan_fn(f1, R):
             def run(a):
@@ -135,7 +138,7 @@ def _bench_keyswitch(jax, jnp, np, dev):
     n, B = 1 << 14, 27
     results = {}
     ref_out = None
-    for impl in ("xla", "mxu"):
+    for impl in ("xla", "mxu", "pallas_mxu"):
         sch = CkksScheme(CkksParams.generate(
             n=n, mult_depth=2, scale_bits=40, dnum=2,
             ntt_backend="fourstep", ntt_impl=impl))

@@ -1,5 +1,6 @@
-"""Threshold (N-of-N) multiparty CKKS — joint key generation and
-distributed decryption as TPU collectives.
+"""Threshold multiparty CKKS — joint key generation and distributed
+decryption as TPU collectives: additive N-of-N shares, plus t-of-N
+decryption availability via Shamir sharing of the additive shares.
 
 The reference enables OpenFHE's MULTIPARTY feature in its CryptoContext
 (server/src/genCC.cpp:71-76, feature mask 63 = … | MULTIPARTY) but never
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import sampling
-from ..core.modarith import modadd, modneg
+from ..core.modarith import modadd, modmul, modneg
 from .params import CkksContext
 from .rlwe import _poly_mul, _signed_to_eval
 from .types import Ciphertext, PublicKey, SecretKey
@@ -137,6 +138,124 @@ def threshold_decrypt(ctx: CkksContext, ct: Ciphertext,
     partials = [
         partial_decrypt(ctx, sk, ct, k, smudging_bits)
         for sk, k in zip(sk_shares, keys)
+    ]
+    coeffs = fuse_partial_decryptions(ctx, ct, partials)
+    return decode_coeffs(ctx, coeffs, ct, encoder, num)
+
+
+# ---------------------------------------------------------------------------
+# t-of-N threshold decryption (Shamir over the additive shares)
+# ---------------------------------------------------------------------------
+#
+# Key generation stays the N-of-N protocol above (all parties contribute
+# s = Σ s_i). Availability becomes t-of-N by Shamir-sharing each party's
+# ADDITIVE share: party i samples a degree-(t−1) polynomial
+# f_i(x) = s_i + Σ_m c_{i,m}·x^m with uniform ring-element coefficients and
+# sends f_i(j) to party j; party j keeps σ_j = Σ_i f_i(j) = F(j) where
+# F(0) = s. Any subset T, |T| = t, reconstructs inside the decryption:
+# Σ_{j∈T} λ_j^T·σ_j = F(0) = s with the Lagrange-at-zero scalars
+# λ_j^T = Π_{j'∈T, j'≠j} j'·(j'−j)^{-1}. Shamir shares are EXACT field
+# elements (coefficient-wise over each RNS prime), so no extra noise enters
+# the ciphertext: the fusion still decrypts c0 + c1·s + Σ smudging.
+#
+# FL value: client dropouts no longer block the final decryption — any t of
+# the N clients finish the round (the orchestrator's min_clients semantics
+# extended to the threshold protocol).
+
+
+def shamir_share_secret(ctx: CkksContext, sk_share: SecretKey,
+                        n_parties: int, t: int, rng_key):
+    """Party i's outgoing Shamir shares of its additive secret share:
+    u64[n_parties, L+K, N] — row j-1 goes to party j (x-coordinate j).
+    Shares are eval-domain residue vectors (sharing is linear with scalar
+    coefficients, so it commutes with the NTT)."""
+    if not (1 <= t <= n_parties):
+        raise ValueError(f"need 1 <= t <= N, got t={t}, N={n_parties}")
+    all_idx = tuple(range(len(ctx.moduli_qp)))
+    q, qinv, r2 = ctx.limb_consts(all_idx)
+    n = ctx.params.n
+    coeffs = []
+    for m in range(t - 1):
+        coeffs.append(ctx.ntt(sampling.uniform_rns(
+            jax.random.fold_in(rng_key, m), ctx.moduli_qp, n), all_idx))
+    rows = []
+    for j in range(1, n_parties + 1):
+        acc = sk_share.s_eval
+        for m, c in enumerate(coeffs, start=1):
+            jm = _const_residues(ctx, pow(j, m))
+            acc = modadd(acc, modmul(c, jm, q, qinv, r2), q)
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def _const_residues(ctx: CkksContext, v: int):
+    """Integer constant → (L+K, 1) residue column."""
+    return jnp.asarray(np.array(
+        [[v % m] for m in ctx.moduli_qp], np.uint64))
+
+
+def aggregate_received_shares(ctx: CkksContext, incoming) -> jax.Array:
+    """σ_j = Σ_i f_i(j): sum the shares party j received from every party.
+    ``incoming``: u64[n_parties, L+K, N]."""
+    q = ctx.q_vec
+    acc = incoming[0]
+    for i in range(1, incoming.shape[0]):
+        acc = modadd(acc, incoming[i], q)
+    return acc
+
+
+def lagrange_at_zero(ctx: CkksContext, party_set: Sequence[int], j: int):
+    """λ_j^T = Π_{j'∈T, j'≠j} j'·(j'−j)^{-1} as (L+K, 1) residues."""
+    from ..core import primes as _p
+
+    out = []
+    for m in ctx.moduli_qp:
+        lam = 1
+        for jp in party_set:
+            if jp == j:
+                continue
+            lam = lam * jp % m
+            lam = lam * _p.mod_inverse((jp - j) % m, m) % m
+        out.append([lam])
+    return jnp.asarray(np.array(out, np.uint64))
+
+
+def partial_decrypt_t(ctx: CkksContext, sigma_j, ct: Ciphertext,
+                      party_set: Sequence[int], j: int, rng_key,
+                      smudging_bits: int = DEFAULT_SMUDGING_BITS,
+                      lead: bool = False) -> jax.Array:
+    """Party j's t-of-N decryption share for the participating set T:
+    p_j = c1·(λ_j^T·σ_j) + e_flood (+ c0 when lead). Fusing the t shares
+    with :func:`fuse_partial_decryptions` recovers the plaintext."""
+    if ct.num_components != 2:
+        raise ValueError("threshold decryption requires a 2-component ciphertext")
+    if j not in party_set:
+        raise ValueError(f"party {j} not in the participating set {party_set}")
+    l = ct.nlimbs
+    idx = ctx.q_idx(l)
+    q, qinv, r2 = ctx.limb_consts(idx)
+    lam = lagrange_at_zero(ctx, party_set, j)[np.asarray(idx)]
+    s_scaled = modmul(sigma_j[:l], lam, q, qinv, r2)
+    e = _signed_to_eval(ctx, smudging_noise(rng_key, ctx.params.n, smudging_bits), idx)
+    p = modadd(_poly_mul(ctx, ct.data[1], s_scaled, idx), e, q)
+    if lead:
+        p = modadd(p, ct.data[0], q)
+    return p
+
+
+def threshold_decrypt_t(ctx: CkksContext, ct: Ciphertext, sigmas: dict,
+                        party_set: Sequence[int], rng_key, encoder,
+                        num: int | None = None,
+                        smudging_bits: int = DEFAULT_SMUDGING_BITS):
+    """Convenience: any t parties (``party_set``, 1-based ids) decrypt using
+    their aggregated Shamir shares ``sigmas[j]`` (single-host simulation of
+    the t-of-N protocol for tests / local deployments)."""
+    from .rlwe import decode_coeffs
+
+    keys = jax.random.split(rng_key, len(party_set))
+    partials = [
+        partial_decrypt_t(ctx, sigmas[j], ct, party_set, j, k, smudging_bits)
+        for j, k in zip(party_set, keys)
     ]
     coeffs = fuse_partial_decryptions(ctx, ct, partials)
     return decode_coeffs(ctx, coeffs, ct, encoder, num)

@@ -134,3 +134,59 @@ def test_sharded_joint_keygen_and_decrypt(sch):
 
     out = decode_coeffs(sch.ctx, coeffs, ct, sch.encoder)
     np.testing.assert_allclose(out, v, atol=1e-4)
+
+
+def test_t_of_n_decryption(sch, joint):
+    """t-of-N availability: Shamir-share the additive secret shares; any t
+    parties decrypt, fewer than t produce garbage (VERDICT r2 #8)."""
+    a, shares, pk = joint
+    n_parties, t = N_PARTIES, 2
+    v = np.linspace(-1, 1, sch.encoder.slots)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(500))
+
+    # each party Shamir-shares its additive share; party j aggregates what
+    # it received: sigma_j = sum_i f_i(j)
+    outgoing = [th.shamir_share_secret(sch.ctx, shares[i], n_parties, t,
+                                       jax.random.PRNGKey(600 + i))
+                for i in range(n_parties)]
+    sigmas = {
+        j: th.aggregate_received_shares(
+            sch.ctx, jnp.stack([outgoing[i][j - 1] for i in range(n_parties)]))
+        for j in range(1, n_parties + 1)
+    }
+
+    # every t-subset decrypts correctly
+    for party_set in ([1, 2], [1, 3], [2, 3]):
+        got = th.threshold_decrypt_t(sch.ctx, ct, sigmas, party_set,
+                                     jax.random.PRNGKey(700), sch.encoder)
+        np.testing.assert_allclose(np.asarray(got), v, atol=2e-3)
+
+    # a (t-1)-subset must NOT decrypt: lambda for a singleton set is 1, so
+    # fusing one share yields c0 + c1*F(j) != c0 + c1*s
+    got_bad = th.threshold_decrypt_t(sch.ctx, ct, sigmas, [2],
+                                     jax.random.PRNGKey(701), sch.encoder)
+    assert np.abs(np.asarray(got_bad) - v).max() > 1.0
+
+
+def test_t_of_n_after_homomorphic_fedavg(sch, joint):
+    """The FL shape: aggregate under the joint key, then any t clients
+    finish the round (dropout-tolerant decryption)."""
+    a, shares, pk = joint
+    t = 2
+    v1 = np.linspace(-1, 1, sch.encoder.slots)
+    v2 = np.linspace(1, -1, sch.encoder.slots)
+    ct1 = sch.encrypt_values(pk, v1, jax.random.PRNGKey(800))
+    ct2 = sch.encrypt_values(pk, v2, jax.random.PRNGKey(801))
+    avg = sch.mult_scalar(sch.add(ct1, ct2), 0.5)
+
+    outgoing = [th.shamir_share_secret(sch.ctx, shares[i], N_PARTIES, t,
+                                       jax.random.PRNGKey(900 + i))
+                for i in range(N_PARTIES)]
+    sigmas = {
+        j: th.aggregate_received_shares(
+            sch.ctx, jnp.stack([outgoing[i][j - 1] for i in range(N_PARTIES)]))
+        for j in range(1, N_PARTIES + 1)
+    }
+    got = th.threshold_decrypt_t(sch.ctx, avg, sigmas, [3, 1],
+                                 jax.random.PRNGKey(901), sch.encoder)
+    np.testing.assert_allclose(np.asarray(got), (v1 + v2) / 2, atol=2e-3)
