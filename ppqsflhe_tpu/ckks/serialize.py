@@ -209,3 +209,50 @@ def ciphertext_to_b64(ct: Ciphertext) -> str:
 
 def ciphertext_from_b64(s: str) -> Ciphertext:
     return ciphertext_from_bytes(base64.b64decode(s))
+
+
+# -- OpenFHE wire compatibility (encryptModelWeights.cpp:85-86) -------------
+
+def _openfhe_emitter(ctx: CkksContext):
+    """Per-context cereal emitter over the Q chain (lazy; openfhe_emit)."""
+    em = ctx.__dict__.get("_openfhe_emitter")
+    if em is None:
+        from .openfhe_emit import OpenFheEmitter
+
+        L = ctx.params.num_q
+        em = OpenFheEmitter(
+            ctx.params.n, list(ctx.params.q_moduli),
+            [int(p) for p in ctx.basis.psis[:L]],
+            batch_size=ctx.params.slots,
+            scaling_mod_size=ctx.params.scale_bits,
+            mult_depth=ctx.params.num_q - 1, dnum=ctx.params.dnum,
+            sigma=ctx.params.sigma)
+        ctx.__dict__["_openfhe_emitter"] = em
+    return em
+
+
+def ciphertext_to_b64_openfhe(ct: Ciphertext, ctx: CkksContext,
+                              key_tag: str = "ppqsflhe") -> str:
+    """Base64(cereal-BINARY) ciphertext — the reference's exact wire format
+    (Serial::Serialize(ct, BINARY) + Base64Encode). Level-reduced
+    ciphertexts carry their truncated chain like OpenFHE's do."""
+    em = _openfhe_emitter(ctx)
+    l = ct.nlimbs
+    buf = em.ciphertext_binary(
+        np.asarray(ct.data), scale=float(ct.scale),
+        level=ctx.params.num_q - l, key_tag=key_tag,
+        moduli=list(ctx.params.q_moduli[:l]),
+        roots=[int(p) for p in ctx.basis.psis[:l]])
+    return base64.b64encode(buf).decode()
+
+
+def ciphertext_from_b64_any(s: str) -> Ciphertext:
+    """Parse either wire format: this package's PQTC blobs or OpenFHE
+    cereal-BINARY (auto-detected by the leading bytes)."""
+    b = base64.b64decode(s)
+    if b[:4] == MAGIC:
+        return ciphertext_from_bytes(b)
+    from .openfhe_emit import parse_ciphertext_binary
+
+    rec = parse_ciphertext_binary(b)
+    return Ciphertext(data=jnp.asarray(rec["towers"]), scale=rec["scale"])

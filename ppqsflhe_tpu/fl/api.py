@@ -131,10 +131,11 @@ def rekey_gen(cc_path: str, own_priv: str, peer_pub: str, rekey_out: str,
 # ---------------------------------------------------------------------------
 
 def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
-                    seed: int | None = None) -> Dict:
+                    seed: int | None = None, wire: str = "native") -> Dict:
     """Per layer: encrypt scalar mean/std_dev and batch-chunked values
     (encryptModelWeights.cpp:67-119). All chunks of all layers are encrypted
-    as ONE batched device op."""
+    as ONE batched device op. ``wire='openfhe'`` emits the ciphertext fields
+    as Base64(cereal-BINARY) — byte-compatible with the reference's wire."""
     sch = load_scheme(cc_path)
     pk = ser.deserialize_public_key(ser.load_json(pub_path))
     with open(weights_in) as f:
@@ -162,9 +163,10 @@ def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
         rec = {
             "layer": entry["layer"],
             "shape": entry["shape"],
-            "mean": ser.ciphertext_to_b64(cts[i]),
-            "std_dev": ser.ciphertext_to_b64(cts[i + 1]),
-            "values": [ser.ciphertext_to_b64(cts[i + 2 + c]) for c in range(nchunks)],
+            "mean": _ct_to_wire(cts[i], sch, wire),
+            "std_dev": _ct_to_wire(cts[i + 1], sch, wire),
+            "values": [_ct_to_wire(cts[i + 2 + c], sch, wire)
+                       for c in range(nchunks)],
         }
         i += 2 + nchunks
         out["weights_summary"].append(rec)
@@ -206,12 +208,12 @@ def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -
 
     out = {"weights_summary": []}
     for entry in enc["weights_summary"]:
-        mean = float(sch.decrypt(sk, ser.ciphertext_from_b64(entry["mean"]), num=1)[0])
-        std = float(sch.decrypt(sk, ser.ciphertext_from_b64(entry["std_dev"]), num=1)[0])
+        mean = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["mean"]), num=1)[0])
+        std = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["std_dev"]), num=1)[0])
         size = int(np.prod(entry["shape"]))
         vals = []
         for s in entry["values"]:
-            vals.append(sch.decrypt(sk, ser.ciphertext_from_b64(s)))
+            vals.append(sch.decrypt(sk, ser.ciphertext_from_b64_any(s)))
         flat = np.concatenate(vals)[:size]
         out["weights_summary"].append({
             "layer": entry["layer"],
@@ -229,22 +231,33 @@ def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -
 # Server-side: PRE + aggregation
 # ---------------------------------------------------------------------------
 
+def _ct_to_wire(ct: Ciphertext, sch: CkksScheme, wire: str) -> str:
+    """'native' → PQTC blobs; 'openfhe' → Base64(cereal-BINARY), the
+    reference's exact ciphertext wire (encryptModelWeights.cpp:85-86)."""
+    if wire == "openfhe":
+        return ser.ciphertext_to_b64_openfhe(ct, sch.ctx)
+    return ser.ciphertext_to_b64(ct)
+
+
 def _load_all_cts(enc: Dict) -> tuple[list, list[Ciphertext]]:
-    """Flatten an encrypted-weights document into (slots, ciphertexts)."""
+    """Flatten an encrypted-weights document into (slots, ciphertexts).
+    Both wire formats are accepted (auto-detected per field)."""
     slots, cts = [], []
     for entry in enc["weights_summary"]:
         for field in ("mean", "std_dev"):
             slots.append((entry, field, None))
-            cts.append(ser.ciphertext_from_b64(entry[field]))
+            cts.append(ser.ciphertext_from_b64_any(entry[field]))
         for i, s in enumerate(entry["values"]):
             slots.append((entry, "values", i))
-            cts.append(ser.ciphertext_from_b64(s))
+            cts.append(ser.ciphertext_from_b64_any(s))
     return slots, cts
 
 
-def _store_all_cts(slots, cts: Sequence[Ciphertext]) -> None:
+def _store_all_cts(slots, cts: Sequence[Ciphertext],
+                   sch: CkksScheme | None = None, wire: str = "native") -> None:
     for (entry, field, i), ct in zip(slots, cts):
-        b64 = ser.ciphertext_to_b64(ct)
+        b64 = _ct_to_wire(ct, sch, wire) if wire != "native" \
+            else ser.ciphertext_to_b64(ct)
         if field == "values":
             entry["values"][i] = b64
         else:
@@ -254,7 +267,7 @@ def _store_all_cts(slots, cts: Sequence[Ciphertext]) -> None:
 def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: str,
                          pub_path: str | None = None,
                          seed: int | None = None,
-                         drop_limbs: int = 0) -> Dict:
+                         drop_limbs: int = 0, wire: str = "native") -> Dict:
     """cc->ReEncrypt on every ciphertext field (changeCipherDomain.cpp:74,89,
     105) — executed as one batched key switch over all B ciphertexts.
     Under PREMode INDCCA ``pub_path`` (the TARGET domain's public key) is
@@ -297,7 +310,7 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
 
         out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(re_enc_one))(stack)))
     new_cts = [Ciphertext(jnp.asarray(d), scale=scale) for d in out_data]
-    _store_all_cts(slots, new_cts)
+    _store_all_cts(slots, new_cts, sch, wire)
     with open(enc_out, "w") as f:
         json.dump(enc, f)
     return enc
@@ -452,7 +465,7 @@ def threshold_fuse_decrypt(cc_path: str, enc_in: str,
 
 
 def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out: str,
-                                lazy: bool = False) -> Dict:
+                                lazy: bool = False, wire: str = "native") -> Dict:
     """Homomorphic FedAvg over N clients' encrypted weights, all already in a
     common key domain: per layer matched by name AND shape
     (aggregateEncryptedWeights.cpp:71-72), ct_avg = (Σ ct_i)·(1/N)
@@ -488,11 +501,11 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
         nv = min([len(entry["values"])] + [len(p["values"]) for p in peers])
         rec = {"layer": entry["layer"], "shape": entry["shape"]}
         for field in ("mean", "std_dev"):
-            stack_groups.append([ser.ciphertext_from_b64(entry[field])]
-                                + [ser.ciphertext_from_b64(p[field]) for p in peers])
+            stack_groups.append([ser.ciphertext_from_b64_any(entry[field])]
+                                + [ser.ciphertext_from_b64_any(p[field]) for p in peers])
         for i in range(nv):
-            stack_groups.append([ser.ciphertext_from_b64(entry["values"][i])]
-                                + [ser.ciphertext_from_b64(p["values"][i]) for p in peers])
+            stack_groups.append([ser.ciphertext_from_b64_any(entry["values"][i])]
+                                + [ser.ciphertext_from_b64_any(p["values"][i]) for p in peers])
         layout.append((rec, nv))
 
     if not stack_groups:
@@ -527,9 +540,10 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
 
     i = 0
     for rec, nv in layout:
-        rec["mean"] = ser.ciphertext_to_b64(agg_cts[i])
-        rec["std_dev"] = ser.ciphertext_to_b64(agg_cts[i + 1])
-        rec["values"] = [ser.ciphertext_to_b64(agg_cts[i + 2 + c]) for c in range(nv)]
+        rec["mean"] = _ct_to_wire(agg_cts[i], sch, wire)
+        rec["std_dev"] = _ct_to_wire(agg_cts[i + 1], sch, wire)
+        rec["values"] = [_ct_to_wire(agg_cts[i + 2 + c], sch, wire)
+                         for c in range(nv)]
         i += 2 + nv
         out["weights_summary"].append(rec)
     with open(agg_out, "w") as f:

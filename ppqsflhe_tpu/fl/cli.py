@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     s.add_argument("pubkey")
     s.add_argument("weights_in")
     s.add_argument("enc_out")
+    s.add_argument("--wire", choices=("native", "openfhe"), default="native",
+                   help="ciphertext wire format: compact PQTC blobs or the "
+                        "reference's Base64(cereal-BINARY)")
 
     s = sub.add_parser("decryptModelWeights")
     s.add_argument("cc")
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
     s.add_argument("--drop-limbs", type=int, default=0,
                    help="LevelReduce N limbs before the switch (lazy level "
                         "management — docs/PERF.md)")
+    s.add_argument("--wire", choices=("native", "openfhe"), default="native")
 
     s = sub.add_parser("aggregateEncryptedWeights")
     s.add_argument("cc")
@@ -78,6 +82,7 @@ def main(argv=None) -> int:
     s.add_argument("enc_in", nargs="+")
     s.add_argument("--lazy", action="store_true",
                    help="free ÷N (power-of-two client counts) + LevelReduce")
+    s.add_argument("--wire", choices=("native", "openfhe"), default="native")
 
     s = sub.add_parser("train")
     s.add_argument("config")
@@ -116,16 +121,17 @@ def main(argv=None) -> int:
     elif args.cmd == "REkeyGen":
         api.rekey_gen(args.cc, args.own_sk, args.peer_pk, args.rekey_out, seed=args.seed)
     elif args.cmd == "encryptModelWeights":
-        api.encrypt_weights(args.cc, args.pubkey, args.weights_in, args.enc_out, seed=args.seed)
+        api.encrypt_weights(args.cc, args.pubkey, args.weights_in,
+                            args.enc_out, seed=args.seed, wire=args.wire)
     elif args.cmd == "decryptModelWeights":
         api.decrypt_weights(args.cc, args.privkey, args.enc_in, args.plain_out)
     elif args.cmd == "changeCipherDomain":
         api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out,
                                  pub_path=args.target_pubkey, seed=args.seed,
-                                 drop_limbs=args.drop_limbs)
+                                 drop_limbs=args.drop_limbs, wire=args.wire)
     elif args.cmd == "aggregateEncryptedWeights":
         api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out,
-                                        lazy=args.lazy)
+                                        lazy=args.lazy, wire=args.wire)
     elif args.cmd == "thresholdKeyGen":
         api.threshold_keygen(args.cc, args.crs_seed, args.share_out,
                              args.bshare_out, seed=args.seed)

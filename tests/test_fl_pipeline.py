@@ -311,3 +311,41 @@ def test_threshold_cli_tools(env, tmp_path):
         want = np.mean([np.asarray([e for e in p if e["layer"] == layer][0]["values"])
                         for p in plains], axis=0)
         np.testing.assert_allclose(load_values(doc, layer), want, atol=1e-3)
+
+
+def test_openfhe_wire_pipeline(env, tmp_path):
+    """Full FL crypto round with wire='openfhe': every ciphertext field is
+    Base64(cereal-BINARY) in the reference's exact format
+    (encryptModelWeights.cpp:85-86), readers auto-detect both formats, and
+    the decrypted aggregate still matches the plaintext FedAvg."""
+    import base64
+
+    from ppqsflhe_tpu.ckks.openfhe_emit import parse_ciphertext_binary
+
+    d = str(tmp_path)
+    w1, w2 = f"{d}/w1.json", f"{d}/w2.json"
+    s1 = make_weights(w1, 61)
+    s2 = make_weights(w2, 62)
+    e1, e2 = f"{d}/e1.json", f"{d}/e2.json"
+    api.encrypt_weights(env["cc"], env["pk1"], w1, e1, seed=63, wire="openfhe")
+    api.encrypt_weights(env["cc"], env["pk2"], w2, e2, seed=64, wire="openfhe")
+
+    # the wire IS cereal-BINARY: parse a field with the binary reader
+    with open(e1) as f:
+        doc = json.load(f)
+    rec = parse_ciphertext_binary(
+        base64.b64decode(doc["weights_summary"][0]["mean"]))
+    assert rec["towers"].shape[0] == 2          # (c0, c1)
+    assert rec["scale"] > 0
+
+    e12 = f"{d}/e1in2.json"
+    api.change_cipher_domain(env["cc"], env["rk12"], e1, e12, wire="openfhe")
+    agg = f"{d}/agg.json"
+    api.aggregate_encrypted_weights(env["cc"], [e12, e2], agg, wire="openfhe")
+    out = f"{d}/dec.json"
+    api.decrypt_weights(env["cc"], env["sk2"], agg, out)
+    with open(out) as f:
+        dec = json.load(f)
+    for ge, w1e, w2e in zip(dec["weights_summary"], s1, s2):
+        want = (np.asarray(w1e["values"]) + np.asarray(w2e["values"])) / 2
+        np.testing.assert_allclose(np.asarray(ge["values"]), want, atol=1e-5)
