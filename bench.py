@@ -164,7 +164,11 @@ def main() -> None:
     z = np.load(prep_path)
     scale = float(z["scale"])
     put = lambda k: jax.device_put(jnp.asarray(z[k]), accel)
-    stack1, stack2, rk12, rk21 = put("stack1"), put("stack2"), put("rk12"), put("rk21")
+    stack1, stack2 = put("stack1"), put("stack2")
+    # rekeys are long-lived: one Montgomery-form conversion halves the
+    # per-ciphertext inner-product multiplies (ev.ksk_to_mont)
+    rk12 = ev.ksk_to_mont(sch.ctx, KeySwitchKey(data=put("rk12"))).data
+    rk21 = ev.ksk_to_mont(sch.ctx, KeySwitchKey(data=put("rk21"))).data
 
     # Lazy level management: LevelReduce — dropping TOP RNS limbs without
     # scaling — is a free, exact modulus switch (message+noise < Q_small/2
@@ -195,7 +199,8 @@ def main() -> None:
         def re_enc(d, rk):
             l = d.shape[1]
             q, _, _ = sch.ctx.limb_consts(sch.ctx.q_idx(l))
-            d0, d1 = ev.keyswitch(sch.ctx, d[1], KeySwitchKey(data=rk), l)
+            d0, d1 = ev.keyswitch(sch.ctx, d[1],
+                                  KeySwitchKey(data=rk, mont=True), l)
             return jnp.stack([modadd(d[0], d0, q), d1])
 
         def agg_pair(d1, d2):

@@ -175,8 +175,14 @@ def main() -> None:
     gb = host_stacks.nbytes / 1e9
 
     t0 = time.time()
-    rk_to = jax.device_put(jnp.asarray(z["rk_to_hub"]), accel)      # (C-1, ...)
-    rk_from = jax.device_put(jnp.asarray(z["rk_from_hub"]), accel)
+    from ppqsflhe_tpu.ckks.types import KeySwitchKey as _KSK
+
+    # stage + convert the long-lived rekeys to Montgomery form (halves the
+    # per-ct inner-product multiplies, ev.ksk_to_mont)
+    rk_to = ev.ksk_to_mont(sch.ctx, _KSK(
+        data=jax.device_put(jnp.asarray(z["rk_to_hub"]), accel))).data
+    rk_from = ev.ksk_to_mont(sch.ctx, _KSK(
+        data=jax.device_put(jnp.asarray(z["rk_from_hub"]), accel))).data
     stacks_dev = jax.device_put(jnp.asarray(host_stacks), accel)    # (C, B, 2, l, N)
     np.asarray(stacks_dev[0, 0, 0, 0, :1])       # force the transfers
     t_stage = time.time() - t0
@@ -188,7 +194,8 @@ def main() -> None:
         q, _, _ = sch.ctx.limb_consts(sch.ctx.q_idx(l))
 
         def one(d):
-            d0, d1 = ev.keyswitch(sch.ctx, d[1], KeySwitchKey(data=rk), l)
+            d0, d1 = ev.keyswitch(sch.ctx, d[1],
+                                  KeySwitchKey(data=rk, mont=True), l)
             return jnp.stack([modadd(d[0], d0, q), d1])
 
         return jax.vmap(one)(d_stack)

@@ -214,9 +214,27 @@ def keyswitch_core(ctx: CkksContext, c_eval, nlimbs: int):
     return digits
 
 
+def ksk_to_mont(ctx: CkksContext, ksk: KeySwitchKey) -> KeySwitchKey:
+    """Convert a key-switch key to Montgomery form (k·2^64 mod q per limb):
+    the per-ciphertext inner product in :func:`keyswitch_apply` then costs
+    ONE mont_mul per element instead of a full modmul (two). One device
+    pass per key — rekeys/relin/rotation keys are loaded once and reused
+    across every ciphertext of a round, so this always amortizes.
+    (k·R mod q = mont_mul(k, R² mod q).)"""
+    from ..core.modarith import mont_mul
+
+    if ksk.mont:
+        return ksk
+    all_idx = tuple(range(len(ctx.moduli_qp)))
+    q, qinv, r2 = ctx.limb_consts(all_idx)
+    return KeySwitchKey(data=mont_mul(ksk.data, r2, q, qinv), mont=True)
+
+
 def keyswitch_apply(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
     """Inner-product digits with the KSK and ModDown by P.
     Returns (d0, d1) over the active Q limbs, eval domain."""
+    from ..core.modarith import mont_mul
+
     l = nlimbs
     idx_q = ctx.q_idx(l)
     idx_p = ctx.p_idx()
@@ -226,8 +244,12 @@ def keyswitch_apply(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
     for j, dig in enumerate(digits):
         k0 = ksk.data[j, 0][sel_ext]
         k1 = ksk.data[j, 1][sel_ext]
-        t0 = modmul(dig, k0, q_ext, qinv_ext, r2_ext)
-        t1 = modmul(dig, k1, q_ext, qinv_ext, r2_ext)
+        if ksk.mont:
+            t0 = mont_mul(dig, k0, q_ext, qinv_ext)
+            t1 = mont_mul(dig, k1, q_ext, qinv_ext)
+        else:
+            t0 = modmul(dig, k0, q_ext, qinv_ext, r2_ext)
+            t1 = modmul(dig, k1, q_ext, qinv_ext, r2_ext)
         if acc0 is None:
             acc0, acc1 = t0, t1
         else:

@@ -66,9 +66,15 @@ class PublicKey:
 @dataclass
 class KeySwitchKey:
     """Hybrid key-switch key: for each digit j, an encryption-like pair
-    (b_j, a_j) over QP with b_j = -a_j*s_to + e_j + P*g_j*target."""
+    (b_j, a_j) over QP with b_j = -a_j*s_to + e_j + P*g_j*target.
+
+    ``mont=True`` marks the residues as Montgomery-form (k·2^64 mod q):
+    the key-switch inner product then needs ONE mont_mul per element
+    instead of two (eval.ksk_to_mont) — keys are long-lived, so the one
+    conversion pass amortizes across every ciphertext they switch."""
 
     data: jax.Array                  # u64[ndigits, 2, L+K, N]
+    mont: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def ndigits(self) -> int:

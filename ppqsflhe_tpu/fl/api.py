@@ -279,7 +279,11 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
     precision cost while message+noise ≪ Q_small (lazy level management;
     the reference keeps full level throughout)."""
     sch = load_scheme(cc_path)
-    rekey = ser.deserialize_ksk(ser.load_json(rekey_path))
+    from ..ckks import eval as ev
+
+    # one Montgomery-form conversion of the (long-lived) rekey halves the
+    # inner-product multiplies of every key switch below (ev.ksk_to_mont)
+    rekey = ev.ksk_to_mont(sch.ctx, ser.deserialize_ksk(ser.load_json(rekey_path)))
     indcca = sch.params.pre_mode == "INDCCA"
     if indcca and pub_path is None:
         raise ValueError("PREMode INDCCA: changeCipherDomain needs the target "

@@ -341,3 +341,23 @@ def test_insecure_params_warning():
     with warnings.catch_warnings():
         warnings.simplefilter("error", SecurityWarning)
         CkksContext(ref)
+
+
+def test_ksk_mont_form(sch, keys):
+    """Montgomery-form key-switch keys (ev.ksk_to_mont) produce bit-identical
+    keyswitch results via ONE mont_mul per inner-product element."""
+    from ppqsflhe_tpu.ckks import eval as ev
+
+    sk, pk = keys
+    rk = sch.relin_key_gen(sk, jax.random.PRNGKey(77))
+    v = rand_vec(sch, 77)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(78))
+    l = ct.nlimbs
+    d0a, d1a = ev.keyswitch(sch.ctx, ct.data[1], rk, l)
+    rkm = ev.ksk_to_mont(sch.ctx, rk)
+    assert rkm.mont and not rk.mont
+    d0b, d1b = ev.keyswitch(sch.ctx, ct.data[1], rkm, l)
+    assert np.array_equal(np.asarray(d0a), np.asarray(d0b))
+    assert np.array_equal(np.asarray(d1a), np.asarray(d1b))
+    # idempotent
+    assert ev.ksk_to_mont(sch.ctx, rkm) is rkm
