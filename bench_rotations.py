@@ -35,8 +35,9 @@ ROTS = [1, 2, 4, 8, 16, 32, 64, 128]
 def _params():
     from ppqsflhe_tpu.ckks.params import CkksParams
 
-    return CkksParams.generate(n=N, mult_depth=2, scale_bits=40, dnum=2,
-                               ntt_backend="fourstep", ntt_impl="xla")
+    return CkksParams.generate(
+        n=N, mult_depth=2, scale_bits=40, dnum=2, ntt_backend="fourstep",
+        ntt_impl=os.environ.get("PPQSFLHE_BENCH_IMPL", "xla"))
 
 
 def run_prep(out_path: str) -> None:
@@ -122,45 +123,64 @@ def main() -> None:
     z = np.load(prep_path)
     scale = float(z["scale"])
     ct = jax.device_put(jnp.asarray(z["ct"]), accel)
-    rks = [jax.device_put(jnp.asarray(z[f"rk{r}"]), accel) for r in ROTS]
+    # long-lived rotation keys → Montgomery form (ev.ksk_to_mont)
+    rks = [ev.ksk_to_mont(sch.ctx, KeySwitchKey(
+        data=jax.device_put(jnp.asarray(z[f"rk{r}"]), accel))).data
+        for r in ROTS]
 
     def plain(ctd, *rkd):
         outs = []
         for r, k in zip(ROTS, rkd):
             o = ev.rotate(sch.ctx, Ciphertext(ctd, scale), r,
-                          KeySwitchKey(data=k))
+                          KeySwitchKey(data=k, mont=True))
             outs.append(o.data)
         return jnp.stack(outs)
 
     def hoisted(ctd, *rkd):
-        keys = {r: KeySwitchKey(data=k) for r, k in zip(ROTS, rkd)}
+        keys = {r: KeySwitchKey(data=k, mont=True) for r, k in zip(ROTS, rkd)}
         outs = ev.rotate_hoisted(sch.ctx, Ciphertext(ctd, scale), ROTS, keys)
         return jnp.stack([o.data for o in outs])
+
+    # honest timing (docs/PERF.md): chain R repetitions inside one jit with
+    # a carry perturbation + checksum, sync via host fetch, report the
+    # marginal between two scan lengths.
+    def scan_fn(fn, R):
+        def run(ctd, *rkd):
+            def body(c, _):
+                d = ctd.at[0, 0, 0].set(
+                    (ctd[0, 0, 0] >> jnp.uint64(1)) + (c & jnp.uint64(1)))
+                o = fn(d, *rkd)
+                return o.astype(jnp.uint32).sum().astype(jnp.uint64), None
+            c, _ = jax.lax.scan(body, jnp.uint64(0), None, length=R)
+            return c
+        return jax.jit(run)
 
     results = {}
     outs_h = outs_p = None
     for name, fn in (("plain", plain), ("hoisted", hoisted)):
-        jf = jax.jit(fn)
         t0 = time.time()
-        out = jax.block_until_ready(jf(ct, *rks))
+        out = np.asarray(jax.jit(fn)(ct, *rks))
         print(f"[bench_rot] {name} compile+first: {time.time()-t0:.1f}s",
               file=sys.stderr)
-        best = None
-        for _ in range(3):
-            R = 5
-            t0 = time.time()
-            for _ in range(R):
-                out = jf(ct, *rks)
-            jax.block_until_ready(out)
-            dt = (time.time() - t0) / R
-            best = dt if best is None else min(best, dt)
-        results[name] = best * 1e6 / len(ROTS)   # µs per rotation
-        print(f"[bench_rot] {name}: {results[name]:.0f} µs/rotation "
+
+        def timed(jf):
+            np.asarray(jf(ct, *rks))
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(jf(ct, *rks))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        t_lo, t_hi = timed(scan_fn(fn, 2)), timed(scan_fn(fn, 8))
+        results[name] = (t_hi - t_lo) / 6 * 1e6 / len(ROTS)  # µs/rotation
+        print(f"[bench_rot] {name}: {results[name]:.0f} µs/rotation on-chip "
               f"({len(ROTS)} rotations)", file=sys.stderr)
         if name == "hoisted":
-            outs_h = np.asarray(out)
+            outs_h = out
         else:
-            outs_p = np.asarray(out)
+            outs_p = out
 
     # the timed plain path must agree bit-exactly with the hoisted one
     # (automorphism commutes with decompose/extend), so the CPU decrypt
