@@ -405,6 +405,102 @@ def threshold_partial_decrypt(cc_path: str, priv_share_path: str, enc_in: str,
     return out
 
 
+def threshold_shamir_share(cc_path: str, priv_share_path: str, n_parties: int,
+                           t: int, out_paths: Sequence[str],
+                           seed: int | None = None) -> None:
+    """Party-side t-of-N setup: Shamir-share this party's ADDITIVE secret
+    share among all N parties (ckks/threshold.py t-of-N section) — writes
+    one share file per recipient (out_paths[j-1] → party j)."""
+    from ..ckks import threshold as th
+
+    if len(out_paths) != n_parties:
+        raise ValueError(f"need {n_parties} output paths, got {len(out_paths)}")
+    sch = load_scheme(cc_path)
+    sk = ser.deserialize_secret_key(ser.load_json(priv_share_path), sch.ctx)
+    rows = np.asarray(th.shamir_share_secret(sch.ctx, sk, n_parties, t, _rng(seed)))
+    for j, path in enumerate(out_paths, start=1):
+        ser.save_json({
+            "type": "ckks_shamir_share", "recipient": j,
+            "n_parties": n_parties, "threshold": t,
+            "shape": list(rows[j - 1].shape),
+            "data": ser._arr_to_b64(rows[j - 1]),
+        }, path)
+
+
+def threshold_aggregate_shares(cc_path: str, incoming_paths: Sequence[str],
+                               sigma_out: str) -> None:
+    """Party j sums the Shamir shares it received from every party:
+    σ_j = Σ_i f_i(j) (all files must target the same recipient)."""
+    from ..ckks import threshold as th
+
+    sch = load_scheme(cc_path)
+    docs = [ser.load_json(p) for p in incoming_paths]
+    recips = {int(d["recipient"]) for d in docs}
+    if len(recips) != 1:
+        raise ValueError(f"shares target different recipients: {sorted(recips)}")
+    stack = jnp.stack([
+        jnp.asarray(ser._b64_to_arr(d["data"], d["shape"])) for d in docs])
+    sigma = th.aggregate_received_shares(sch.ctx, stack)
+    d0 = docs[0]
+    ser.save_json({
+        "type": "ckks_sigma_share", "recipient": d0["recipient"],
+        "n_parties": d0["n_parties"], "threshold": d0["threshold"],
+        "shape": list(np.asarray(sigma).shape),
+        "data": ser._arr_to_b64(np.asarray(sigma)),
+    }, sigma_out)
+
+
+def threshold_partial_decrypt_t(cc_path: str, sigma_path: str, enc_in: str,
+                                partial_out: str, party_set: Sequence[int],
+                                party_id: int, seed: int | None = None,
+                                smudging_bits: int | None = None) -> Dict:
+    """Party j's t-of-N decryption shares over a whole encrypted-weights
+    document (λ_j^T·σ_j folded in); fuse the t partial documents with
+    :func:`threshold_fuse_decrypt` unchanged."""
+    from ..ckks import threshold as th
+
+    sch = load_scheme(cc_path)
+    d = ser.load_json(sigma_path)
+    if int(d["recipient"]) != int(party_id):
+        raise ValueError(f"sigma share belongs to party {d['recipient']}, "
+                         f"not {party_id}")
+    if len(party_set) != int(d["threshold"]):
+        raise ValueError(f"participating set size {len(party_set)} != "
+                         f"threshold t={d['threshold']}")
+    sigma = jnp.asarray(ser._b64_to_arr(d["data"], d["shape"]))
+    if smudging_bits is None:
+        smudging_bits = th.DEFAULT_SMUDGING_BITS
+    with open(enc_in) as f:
+        enc = json.load(f)
+    slots, cts = _load_all_cts(enc)
+    stack = jnp.stack([ct.data for ct in cts])
+    scale = cts[0].scale
+    keys = jax.random.split(_rng(seed), len(cts))
+    pset = tuple(int(x) for x in party_set)
+
+    def part_one(dd, k):
+        return th.partial_decrypt_t(sch.ctx, sigma, Ciphertext(dd, scale=scale),
+                                    pset, int(party_id), k,
+                                    smudging_bits=smudging_bits)
+
+    parts = np.asarray(jax.device_get(jax.jit(jax.vmap(part_one))(stack, keys)))
+    out = {"type": "ckks_partial_decryptions", "limbs": int(parts.shape[1]),
+           "n": int(parts.shape[2]), "party_set": list(pset),
+           "weights_summary": []}
+    i = 0
+    for entry in enc["weights_summary"]:
+        rec = {"layer": entry["layer"], "shape": entry["shape"],
+               "mean": ser._arr_to_b64(parts[i]),
+               "std_dev": ser._arr_to_b64(parts[i + 1]),
+               "values": [ser._arr_to_b64(parts[i + 2 + c])
+                          for c in range(len(entry["values"]))]}
+        i += 2 + len(entry["values"])
+        out["weights_summary"].append(rec)
+    with open(partial_out, "w") as f:
+        json.dump(out, f)
+    return out
+
+
 def threshold_fuse_decrypt(cc_path: str, enc_in: str,
                            partial_paths: Sequence[str], plain_out: str) -> Dict:
     """MultipartyDecryptFusion over a document: plaintext coefficients =

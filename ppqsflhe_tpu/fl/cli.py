@@ -106,6 +106,29 @@ def main(argv=None) -> int:
     s.add_argument("partial_out")
     s.add_argument("--smudging-bits", type=int, default=None)
 
+    s = sub.add_parser("thresholdShamirShare")
+    s.add_argument("cc")
+    s.add_argument("priv_share")
+    s.add_argument("n_parties", type=int)
+    s.add_argument("threshold", type=int)
+    s.add_argument("share_outs", nargs="+",
+                   help="one output path per recipient party (1..N)")
+
+    s = sub.add_parser("thresholdAggregateShares")
+    s.add_argument("cc")
+    s.add_argument("sigma_out")
+    s.add_argument("incoming", nargs="+")
+
+    s = sub.add_parser("thresholdPartialDecryptT")
+    s.add_argument("cc")
+    s.add_argument("sigma")
+    s.add_argument("enc_in")
+    s.add_argument("partial_out")
+    s.add_argument("party_id", type=int)
+    s.add_argument("party_set", nargs="+", type=int,
+                   help="the t participating party ids")
+    s.add_argument("--smudging-bits", type=int, default=None)
+
     s = sub.add_parser("thresholdFuseDecrypt")
     s.add_argument("cc")
     s.add_argument("enc_in")
@@ -142,6 +165,17 @@ def main(argv=None) -> int:
         api.threshold_partial_decrypt(args.cc, args.share, args.enc_in,
                                       args.partial_out, seed=args.seed,
                                       smudging_bits=args.smudging_bits)
+    elif args.cmd == "thresholdShamirShare":
+        api.threshold_shamir_share(args.cc, args.priv_share, args.n_parties,
+                                   args.threshold, args.share_outs,
+                                   seed=args.seed)
+    elif args.cmd == "thresholdAggregateShares":
+        api.threshold_aggregate_shares(args.cc, args.incoming, args.sigma_out)
+    elif args.cmd == "thresholdPartialDecryptT":
+        api.threshold_partial_decrypt_t(args.cc, args.sigma, args.enc_in,
+                                        args.partial_out, args.party_set,
+                                        args.party_id, seed=args.seed,
+                                        smudging_bits=args.smudging_bits)
     elif args.cmd == "thresholdFuseDecrypt":
         api.threshold_fuse_decrypt(args.cc, args.enc_in, args.partials,
                                    args.plain_out)

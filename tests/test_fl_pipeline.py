@@ -349,3 +349,67 @@ def test_openfhe_wire_pipeline(env, tmp_path):
     for ge, w1e, w2e in zip(dec["weights_summary"], s1, s2):
         want = (np.asarray(w1e["values"]) + np.asarray(w2e["values"])) / 2
         np.testing.assert_allclose(np.asarray(ge["values"]), want, atol=1e-5)
+
+
+def test_t_of_n_cli_tools(env, tmp_path):
+    """The t-of-N CLI tools: 3 parties Shamir-share their additive secret
+    shares (t=2), each aggregates its incoming shares, and any 2 parties'
+    weighted partials fuse to the plaintext mean — with the third party
+    dropped out (VERDICT r2 #8 protocol surface)."""
+    from ppqsflhe_tpu.fl.cli import main
+
+    d = str(tmp_path)
+    n_parties, t = 3, 2
+    shares, bshares = [], []
+    for i in range(n_parties):
+        sh, bs = f"{d}/share{i}.key", f"{d}/bshare{i}.key"
+        assert main(["--seed", str(170 + i), "thresholdKeyGen", env["cc"],
+                     "77", sh, bs]) == 0
+        shares.append(sh)
+        bshares.append(bs)
+    joint = f"{d}/joint.key"
+    assert main(["thresholdCombine", env["cc"], "77", joint] + bshares) == 0
+
+    # Shamir distribution: party i writes one share file per recipient
+    outgoing = []
+    for i in range(n_parties):
+        outs = [f"{d}/sh_{i}_to_{j}.json" for j in range(1, n_parties + 1)]
+        assert main(["--seed", str(180 + i), "thresholdShamirShare",
+                     env["cc"], shares[i], str(n_parties), str(t)] + outs) == 0
+        outgoing.append(outs)
+    sigmas = []
+    for j in range(1, n_parties + 1):
+        sig = f"{d}/sigma{j}.json"
+        incoming = [outgoing[i][j - 1] for i in range(n_parties)]
+        assert main(["thresholdAggregateShares", env["cc"], sig] + incoming) == 0
+        sigmas.append(sig)
+
+    plains, encs = [], []
+    for i in range(2):
+        w = f"{d}/tw{i}.json"
+        plains.append(make_weights(w, 190 + i))
+        e = f"{d}/te{i}.json"
+        assert main(["--seed", str(195 + i), "encryptModelWeights",
+                     env["cc"], joint, w, e]) == 0
+        encs.append(e)
+    agg = f"{d}/tagg.json"
+    api.aggregate_encrypted_weights(env["cc"], encs, agg)
+
+    # parties 1 and 3 decrypt; party 2 dropped out
+    party_set = ["1", "3"]
+    parts = []
+    for j in (1, 3):
+        p = f"{d}/partT{j}.json"
+        assert main(["--seed", str(200 + j), "thresholdPartialDecryptT",
+                     env["cc"], sigmas[j - 1], agg, p, str(j)] + party_set) == 0
+        parts.append(p)
+    dec = f"{d}/tdecT.json"
+    assert main(["thresholdFuseDecrypt", env["cc"], agg, dec] + parts) == 0
+    with open(dec) as f:
+        doc = json.load(f)
+    for layer in ("param_0", "param_1", "param_2"):
+        want = np.mean([np.asarray(
+            [e for e in p if e["layer"] == layer][0]["values"])
+            for p in plains], axis=0)
+        got = load_values(doc, layer)
+        np.testing.assert_allclose(got, want, atol=5e-3)
