@@ -127,7 +127,8 @@ def main() -> None:
         return
 
     tmp = tempfile.mkdtemp(prefix="ppqsflhe_bench_")
-    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PPQSFLHE_BENCH_IMPL="xla")
     # Prep artifacts (keys + encrypted payload) depend only on the parameter
     # set and the fixed PRNG seed — cache them next to the repo so repeated
     # driver runs skip the ~3 min CPU prep.

@@ -133,7 +133,9 @@ def main() -> None:
         run_check(sys.argv[sys.argv.index("--check") + 1])
         return
 
-    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    # CPU subprocesses must not inherit a TPU-only ntt impl (no Mosaic on CPU)
+    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PPQSFLHE_BENCH_IMPL="xla")
     if not os.path.exists(CACHE):
         print("[mk] prepping in CPU subprocess (cached afterwards)…", file=sys.stderr)
         t0 = time.time()

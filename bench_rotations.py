@@ -95,7 +95,8 @@ def main() -> None:
 
     import tempfile
 
-    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    cpu_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PPQSFLHE_BENCH_IMPL="xla")
     prep_path = os.path.join(REPO, ".bench_cache", f"rot_{N}.npz")
     os.makedirs(os.path.dirname(prep_path), exist_ok=True)
     if not os.path.exists(prep_path):
