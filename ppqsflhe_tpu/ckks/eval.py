@@ -107,8 +107,16 @@ def mult_scalar(ctx: CkksContext, ct: Ciphertext, c: float, rescale_after: bool 
 # ---------------------------------------------------------------------------
 
 def _reduce_into(x, q, qinv, r2):
-    """Reduce arbitrary u64 residues into [0, q) per-limb (x may exceed q)."""
-    return modmul(x, jnp.ones_like(q), q, qinv, r2)
+    """Reduce arbitrary u64 residues into [0, q) per-limb (x may exceed q).
+    Wide Shoup by the constant 1 (= Barrett): valid for x < 2^62."""
+    from ..core.modarith import shoup_mul_wide
+
+    ones = jnp.ones_like(q)
+    # Shoup companion of 1 is ⌊2^64/q⌋ — derivable on host from q? q is a
+    # traced/np array here; compute companions via the float-free identity
+    # ⌊2^64/q⌋ = ⌊(2^64−1)/q⌋ for non-power-of-two q (q odd prime > 2).
+    sh = (~jnp.uint64(0)) // q
+    return shoup_mul_wide(x, ones, sh, q)
 
 
 def rescale(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:

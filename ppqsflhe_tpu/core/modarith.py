@@ -93,6 +93,19 @@ def shoup_mul(a, w, w_shoup, q):
     return jnp.where(r >= q, r - q, r)
 
 
+def shoup_mul_wide(a, w, w_shoup, q):
+    """a*w mod q for UNREDUCED a < 2^62 (w a constant with Shoup companion).
+
+    With h = ⌊a·w_shoup/2^64⌋, r = a·w − h·q ∈ [0, q·(a/2^64) + 2q) < 3q
+    for a < 2^62 — two conditional subtracts restore [0, q). Half the cost
+    of the Montgomery ``modmul`` for constant multiplicands whose other
+    operand may exceed q (base extension, cross-limb reductions)."""
+    hi = mul_hi(a, w_shoup)
+    r = a * w - hi * q
+    r = jnp.where(r >= q + q, r - q - q, r)
+    return jnp.where(r >= q, r - q, r)
+
+
 def modpow_const(a, e: int, q, qinv_neg, r2):
     """a^e mod q for a *static python int* exponent (square-and-multiply,
     unrolled at trace time). Used only in precompute paths."""

@@ -112,6 +112,15 @@ class BaseExtender:
              for i in range(ls)], np.uint64)
         self.dhat_mod_dst = dhat_mod_dst
         self.d_mod_dst = d_mod_dst
+        # Shoup companions for the dst-side constants (consumed by the
+        # wide-Shoup path in extend(): the y_i operands exceed the smaller
+        # dst moduli, so the 2-csub variant applies)
+        self.dhat_mod_dst_shoup = np.array(
+            [[primes.shoup_precompute(int(dhat_mod_dst[j, i]), self.dst[j])
+              for i in range(ls)] for j in range(ld)], np.uint64)
+        self.d_mod_dst_shoup = np.array(
+            [[primes.shoup_precompute(int(d_mod_dst[j, 0]), self.dst[j])]
+             for j in range(ld)], np.uint64)
         self.src_q = np.array(self.src, np.uint64).reshape(ls, 1)
         self.src_qinv = np.array([primes.mont_qinv_neg(q) for q in self.src],
                                  np.uint64).reshape(ls, 1)
@@ -153,16 +162,21 @@ class BaseExtender:
             acc = nxt
         alpha = carry + (acc >> jnp.uint64(63))         # + round(frac of acc)
         # z_j = sum_i y_i * [D/d_i]_{p_j} - alpha * [D]_{p_j}  (mod p_j)
+        # Wide-Shoup constant multiplies (shoup_mul_wide): y_i < d_i may
+        # exceed the smaller dst moduli, so the 2-csub variant applies —
+        # half the Montgomery modmul's cost.
+        from .modarith import shoup_mul_wide
+
         acc = jnp.zeros(x.shape[:-2] + (len(self.dst), x.shape[-1]), U64)
         for i in range(ls):
-            term = modmul(
+            term = shoup_mul_wide(
                 jnp.broadcast_to(y[..., i : i + 1, :], acc.shape),
                 self.dhat_mod_dst[:, i : i + 1],
-                self.dst_q, self.dst_qinv, self.dst_r2,
+                self.dhat_mod_dst_shoup[:, i : i + 1], self.dst_q,
             )
             acc = modadd(acc, term, self.dst_q)
-        corr = modmul(
+        corr = shoup_mul_wide(
             jnp.broadcast_to(alpha, acc.shape),
-            self.d_mod_dst, self.dst_q, self.dst_qinv, self.dst_r2,
+            self.d_mod_dst, self.d_mod_dst_shoup, self.dst_q,
         )
         return modsub(acc, corr, self.dst_q)
