@@ -46,11 +46,13 @@ from .rlwe import _poly_mul, _signed_to_eval
 from .types import Ciphertext, PublicKey, SecretKey
 
 # Statistical-security smudging: the reference context pins ss=30 statistical
-# security bits (SURVEY.md §2.3). Flooding with uniform noise 2^{ss} times
-# larger than the worst-case decryption noise hides each share's contribution;
-# with Δ=2^40 and fresh-ct noise ≈ 2^{10}, 2^{30+10} erodes the top of the
-# scale — callers trade precision for share privacy via ``smudging_bits``.
-DEFAULT_SMUDGING_BITS = 20
+# security bits (SURVEY.md §2.3), and that is the DEFAULT here — flooding with
+# uniform noise 2^{ss} times larger than the worst-case decryption noise hides
+# each share's contribution. With Δ=2^40 and fresh-ct noise ≈ 2^{10}, the
+# 2^{30+10} flood erodes the top of the scale; callers who need more plaintext
+# precision may lower ``smudging_bits`` explicitly (documented tradeoff in
+# docs/SECURITY.md), but the default meets the reference's own ss setting.
+DEFAULT_SMUDGING_BITS = 30
 
 
 def smudging_noise(key, n: int, bits: int) -> jnp.ndarray:

@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import json
 import math
-import secrets
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -52,7 +52,17 @@ def load_scheme(cc_path: str) -> CkksScheme:
 
 
 def _rng(seed: int | None):
-    return jax.random.PRNGKey(secrets.randbits(63) if seed is None else seed)
+    """PRNG key for key material / encryption randomness.
+
+    With no explicit seed, all long-term secrets (sk, rekeys, threshold
+    shares) derive from 128 bits of OS entropy wrapped into a 128-bit-state
+    'rbg' key — a 64-bit threefry PRNGKey would cap the effective secret-key
+    space at 2^64 regardless of parameter security. Explicit seeds keep the
+    deterministic threefry path for tests/reproducibility."""
+    if seed is not None:
+        return jax.random.PRNGKey(seed)
+    data = np.frombuffer(os.urandom(16), dtype=np.uint32)
+    return jax.random.wrap_key_data(jnp.asarray(data), impl="rbg")
 
 
 # ---------------------------------------------------------------------------

@@ -226,7 +226,8 @@ def test_nclient_aggregate(env):
     for layer in ("param_0", "param_1", "param_2"):
         want = np.mean([np.asarray([e for e in p if e["layer"] == layer][0]["values"])
                         for p in plains], axis=0)
-        np.testing.assert_allclose(load_values(doc, layer), want, atol=1e-3)
+        # ss=30 smudging default at Δ=2^40, N=128, 3 parties → ~0.02 noise
+        np.testing.assert_allclose(load_values(doc, layer), want, atol=0.1)
 
 
 def test_cli_smoke(env, tmp_path):
@@ -310,7 +311,8 @@ def test_threshold_cli_tools(env, tmp_path):
     for layer in ("param_0", "param_1", "param_2"):
         want = np.mean([np.asarray([e for e in p if e["layer"] == layer][0]["values"])
                         for p in plains], axis=0)
-        np.testing.assert_allclose(load_values(doc, layer), want, atol=1e-3)
+        # ss=30 smudging default at Δ=2^40, N=128, 3 parties → ~0.02 noise
+        np.testing.assert_allclose(load_values(doc, layer), want, atol=0.1)
 
 
 def test_openfhe_wire_pipeline(env, tmp_path):
@@ -413,3 +415,44 @@ def test_t_of_n_cli_tools(env, tmp_path):
             for p in plains], axis=0)
         got = load_values(doc, layer)
         np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_keygen_entropy_128bit():
+    """Unseeded key material derives from >=128-bit OS entropy (VERDICT r3
+    #5): a 64-bit threefry PRNGKey would cap the secret-key space at 2^64."""
+    import jax
+
+    k = api._rng(None)
+    data = jax.random.key_data(k)
+    assert data.size * data.dtype.itemsize * 8 >= 128, data.shape
+    assert not np.array_equal(np.asarray(jax.random.key_data(api._rng(None))),
+                              np.asarray(data))
+    # explicit seeds keep the deterministic threefry path for tests
+    assert np.array_equal(np.asarray(api._rng(7)), np.asarray(api._rng(7)))
+
+
+def test_keygen_unseeded_end_to_end(tmp_path):
+    """key_gen/rekey_gen with seed=None (the production path, rbg keys)
+    produce working key material through encrypt → PRE → decrypt."""
+    cc = str(tmp_path / "CC.json")
+    api.gen_cc({"multiplicative_depth": 2, "scaling_mod_size": 40,
+                "batch_size": 16, "PREMode": "INDCPA", "ring_dim": 64}, cc)
+    pk1, sk1 = str(tmp_path / "pk1"), str(tmp_path / "sk1")
+    pk2, sk2 = str(tmp_path / "pk2"), str(tmp_path / "sk2")
+    api.key_gen(cc, pk1, sk1)
+    api.key_gen(cc, pk2, sk2)
+    rk = str(tmp_path / "rk12")
+    api.rekey_gen(cc, sk1, pk2, rk)
+    w = {"weights_summary": [{"layer": "d/k", "shape": [4, 2], "mean": 0.1,
+                              "std_dev": 0.5,
+                              "values": np.linspace(-1, 1, 8).tolist()}]}
+    win = str(tmp_path / "w.json")
+    json.dump(w, open(win, "w"))
+    enc = str(tmp_path / "enc.json")
+    api.encrypt_weights(cc, pk1, win, enc)
+    moved = str(tmp_path / "moved.json")
+    api.change_cipher_domain(cc, rk, enc, moved)
+    dec = str(tmp_path / "dec.json")
+    api.decrypt_weights(cc, sk2, moved, dec)
+    got = np.asarray(json.load(open(dec))["weights_summary"][0]["values"])
+    np.testing.assert_allclose(got, w["weights_summary"][0]["values"], atol=1e-3)

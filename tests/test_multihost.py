@@ -82,7 +82,8 @@ def _worker(pid: int, nprocs: int, port: int) -> None:
                         agg_local, sch.encoder)
     want = np.mean(vecs, axis=0)
     err = float(np.abs(np.asarray(out) - want).max())
-    assert err < 1e-3, f"process {pid}: fused aggregate off by {err}"
+    # ss=30 smudging, 8 parties → ~0.05 slot noise budget
+    assert err < 0.2, f"process {pid}: fused aggregate off by {err}"
     print(f"WORKER-{pid}-OK err={err:.2e}", flush=True)
 
 

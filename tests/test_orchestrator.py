@@ -211,7 +211,8 @@ def test_threshold_protocol_round(tmp_path):
         p = str(tmp_path / "run" / f"client_{i}" / "decrypted_weights.json")
         assert os.path.exists(p)
         got = np.asarray(json.load(open(p))["weights_summary"][0]["values"])
-        np.testing.assert_allclose(got, want, atol=1e-3)
+        # ss=30 smudging at Δ=2^40, N=128, 3 parties → ~0.02 slot noise
+        np.testing.assert_allclose(got, want, atol=0.1)
 
 
 def test_checkpoint_resume(tmp_path):

@@ -57,8 +57,9 @@ def test_joint_encrypt_threshold_decrypt(sch, joint):
     ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(5))
     out = th.threshold_decrypt(sch.ctx, ct, shares, jax.random.PRNGKey(6),
                                sch.encoder)
-    # smudging noise 2^20 at Δ=2^40 → ~1e-6 relative error budget
-    np.testing.assert_allclose(out, v, atol=1e-4)
+    # smudging noise 2^30 (ss=30 default, reference parity) at Δ=2^40 →
+    # slot error ≈ √N·2^{30-40} ≈ 0.02 at N=256, 3 parties
+    np.testing.assert_allclose(out, v, atol=0.08)
 
 
 def test_no_single_share_decrypts(sch, joint):
@@ -84,7 +85,7 @@ def test_lead_main_fusion_split(sch, joint):
     from ppqsflhe_tpu.ckks.rlwe import decode_coeffs
 
     out = decode_coeffs(sch.ctx, coeffs, ct, sch.encoder)
-    np.testing.assert_allclose(out, v, atol=1e-4)
+    np.testing.assert_allclose(out, v, atol=0.08)
 
 
 def test_threshold_fedavg_round(sch, joint):
@@ -100,7 +101,7 @@ def test_threshold_fedavg_round(sch, joint):
     agg = ev.mult_scalar(sch.ctx, agg, 1.0 / N_PARTIES)
     out = th.threshold_decrypt(sch.ctx, agg, shares, jax.random.PRNGKey(30),
                                sch.encoder)
-    np.testing.assert_allclose(out, np.mean(vecs, axis=0), atol=1e-4)
+    np.testing.assert_allclose(out, np.mean(vecs, axis=0), atol=0.08)
 
 
 def test_sharded_joint_keygen_and_decrypt(sch):
@@ -133,7 +134,7 @@ def test_sharded_joint_keygen_and_decrypt(sch):
     from ppqsflhe_tpu.ckks.rlwe import decode_coeffs
 
     out = decode_coeffs(sch.ctx, coeffs, ct, sch.encoder)
-    np.testing.assert_allclose(out, v, atol=1e-4)
+    np.testing.assert_allclose(out, v, atol=0.08)
 
 
 def test_t_of_n_decryption(sch, joint):
@@ -159,7 +160,7 @@ def test_t_of_n_decryption(sch, joint):
     for party_set in ([1, 2], [1, 3], [2, 3]):
         got = th.threshold_decrypt_t(sch.ctx, ct, sigmas, party_set,
                                      jax.random.PRNGKey(700), sch.encoder)
-        np.testing.assert_allclose(np.asarray(got), v, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got), v, atol=0.2)
 
     # a (t-1)-subset must NOT decrypt: lambda for a singleton set is 1, so
     # fusing one share yields c0 + c1*F(j) != c0 + c1*s
@@ -189,4 +190,10 @@ def test_t_of_n_after_homomorphic_fedavg(sch, joint):
     }
     got = th.threshold_decrypt_t(sch.ctx, avg, sigmas, [3, 1],
                                  jax.random.PRNGKey(901), sch.encoder)
-    np.testing.assert_allclose(np.asarray(got), (v1 + v2) / 2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), (v1 + v2) / 2, atol=0.2)
+
+
+def test_smudging_default_meets_reference_ss():
+    """The default flooding level must meet the reference context's own
+    ss=30 statistical-security setting (SURVEY.md §2.3; VERDICT r3 #5)."""
+    assert th.DEFAULT_SMUDGING_BITS == 30
