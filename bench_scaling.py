@@ -220,6 +220,25 @@ def main() -> None:
     # weak scaling: per-device work is constant, so efficiency = t(D0)/t(Dmax)
     eff = results[d0]["ntt_ms"] / results[dmax]["ntt_ms"]
     eff_round = results[d0]["round_ms"] / results[dmax]["round_ms"]
+    # The falsifiable half of the >=70% scaling claim (docs/PERF.md "Scaling
+    # story"): commit the HLO-scraped per-collective byte counts so a real
+    # TPU-slice run can diff measured traffic against this model.
+    with open(os.path.join(REPO, "SCALING_MODEL.json"), "w") as f:
+        json.dump({
+            "generated_by": "bench_scaling.py",
+            "platform": PLATFORM,
+            "shape": {"ntt_n": N, "limbs": LIMBS, "round_n": 1 << 12,
+                      "round_depth": 2, "dnum": 2},
+            "collective_bytes_per_round": {
+                str(d): results[d]["collective_bytes"] for d in DEVS},
+            "round_cts": {str(d): results[d]["round_cts"] for d in DEVS},
+            "ici_model": {
+                "bytes_per_limb_transform": "l*N*8*(D-1)/D",
+                "v5e_ici_GBps_per_link": 400,
+                "predicted_efficiency_4_hosts": ">=0.75",
+                "derivation": "docs/PERF.md: Scaling story",
+            },
+        }, f, indent=1)
     print(json.dumps({
         "metric": "weak_scaling_efficiency_ntt",
         "value": round(eff, 3),

@@ -36,14 +36,20 @@ def _signed_to_eval(ctx: CkksContext, v_int, idx):
     return ctx.ntt(coeff, idx)
 
 
-def keygen(ctx: CkksContext, rng_key) -> tuple[SecretKey, PublicKey]:
-    """Ternary secret, pk = (b, a) with b = -a*s + e over QP."""
+def keygen(ctx: CkksContext, rng_key,
+           a_seed: bytes | None = None) -> tuple[SecretKey, PublicKey]:
+    """Ternary secret, pk = (b, a) with b = -a*s + e over QP. With
+    ``a_seed`` (16 bytes), a = expand_a(seed) — the serialized public key
+    then ships only b + the seed (~2x smaller pubkey wire)."""
     n = ctx.params.n
     all_idx = tuple(range(len(ctx.moduli_qp)))
     k_s, k_a, k_e = jax.random.split(rng_key, 3)
     s_int = sampling.ternary(k_s, n)
     s_eval = _signed_to_eval(ctx, s_int, all_idx)
-    a = ctx.ntt(sampling.uniform_rns(k_a, ctx.moduli_qp, n), all_idx)
+    if a_seed is not None:
+        a = expand_a(ctx, a_seed, len(ctx.moduli_qp))
+    else:
+        a = ctx.ntt(sampling.uniform_rns(k_a, ctx.moduli_qp, n), all_idx)
     e = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e, n, ctx.params.sigma), all_idx)
     q = ctx.q_vec
     b = modadd(modneg(_poly_mul(ctx, a, s_eval, all_idx), q), e, q)
@@ -67,6 +73,44 @@ def encrypt(ctx: CkksContext, pk: PublicKey, pt: Plaintext, rng_key) -> Cipherte
     c0 = modadd(modadd(_poly_mul(ctx, b, u, idx), e0, q), pt.data, q)
     c1 = modadd(_poly_mul(ctx, a, u, idx), e1, q)
     return Ciphertext(data=jnp.stack([c0, c1]), scale=pt.scale)
+
+
+def expand_a(ctx: CkksContext, seed: bytes, nlimbs: int):
+    """Deterministic uniform eval-domain poly over the first ``nlimbs`` Q
+    limbs from a 16-byte PRF seed (Philox 128-bit key — host-side numpy, so
+    the expansion is bit-identical on every backend/platform forever).
+
+    This is the seed-expansion primitive behind the compact wire format
+    (VERDICT r3 #6): a fresh secret-key ciphertext's c1 IS uniform, so the
+    wire ships the 16-byte seed instead of l·N·8 bytes."""
+    if len(seed) != 16:
+        raise ValueError("expand_a seed must be 16 bytes")
+    idx = ctx.q_idx(nlimbs)
+    rng = np.random.Generator(np.random.Philox(
+        key=np.frombuffer(seed, dtype=np.uint64)))
+    coeff = np.stack([
+        rng.integers(0, int(ctx.moduli_qp[i]), ctx.params.n, dtype=np.uint64)
+        for i in idx
+    ])
+    return ctx.ntt(jnp.asarray(coeff), idx)
+
+
+def encrypt_sk(ctx: CkksContext, sk: SecretKey, pt: Plaintext, rng_key,
+               a_seed: bytes) -> Ciphertext:
+    """Symmetric (secret-key) encryption with a seed-expanded mask:
+    ct = (-a·s + e + m, a) with a = expand_a(a_seed). Decrypts identically
+    to pk-encryption (c0 + c1·s = m + e) and all homomorphic/PRE ops apply
+    unchanged; the wire can drop c1 entirely (serialize v3). Noise is
+    LOWER than pk-encryption (one error term instead of e0 + u·e1)."""
+    l = pt.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    a = expand_a(ctx, a_seed, l)
+    e = _signed_to_eval(ctx, sampling.discrete_gaussian(rng_key, ctx.params.n,
+                                                        ctx.params.sigma), idx)
+    s = sk.s_eval[:l]
+    c0 = modadd(modadd(modneg(_poly_mul(ctx, a, s, idx), q), e, q), pt.data, q)
+    return Ciphertext(data=jnp.stack([c0, a]), scale=pt.scale)
 
 
 def encrypt_zero(ctx: CkksContext, pk: PublicKey, nlimbs: int, rng_key,

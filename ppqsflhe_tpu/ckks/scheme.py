@@ -58,7 +58,10 @@ class CkksScheme:
 
     # -- keys ---------------------------------------------------------------
 
-    def keygen(self, rng_key) -> tuple[SecretKey, PublicKey]:
+    def keygen(self, rng_key,
+               a_seed: bytes | None = None) -> tuple[SecretKey, PublicKey]:
+        if a_seed is not None:
+            return rlwe.keygen(self.ctx, rng_key, a_seed)
         return self._jit("keygen", lambda: lambda k: rlwe.keygen(self.ctx, k))(rng_key)
 
     def relin_key_gen(self, sk: SecretKey, rng_key) -> KeySwitchKey:

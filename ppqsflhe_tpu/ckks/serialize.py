@@ -17,6 +17,7 @@ import json
 import struct
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -110,7 +111,17 @@ def deserialize_secret_key(d: Dict[str, Any], ctx: CkksContext) -> SecretKey:
     return SecretKey(s_eval=s_eval, s_int=s_int)
 
 
-def serialize_public_key(pk: PublicKey) -> Dict[str, Any]:
+def serialize_public_key(pk: PublicKey,
+                         a_seed: bytes | None = None) -> Dict[str, Any]:
+    """With ``a_seed`` (the seed passed to rlwe.keygen), only the b half
+    travels — the a half is re-expanded on load (~2x smaller pubkey)."""
+    if a_seed is not None:
+        return {
+            "type": "ckks_public_key",
+            "shape": list(pk.data.shape),
+            "b": _arr_to_b64(pk.data[0]),
+            "a_seed": a_seed.hex(),
+        }
     return {
         "type": "ckks_public_key",
         "shape": list(pk.data.shape),
@@ -118,7 +129,19 @@ def serialize_public_key(pk: PublicKey) -> Dict[str, Any]:
     }
 
 
-def deserialize_public_key(d: Dict[str, Any]) -> PublicKey:
+def deserialize_public_key(d: Dict[str, Any],
+                           ctx: CkksContext | None = None) -> PublicKey:
+    if "a_seed" in d:
+        if ctx is None:
+            raise ValueError("seeded public key needs a context to "
+                             "re-expand a — pass ctx")
+        from .rlwe import expand_a
+
+        shape = d["shape"]
+        b = _b64_to_arr(d["b"], shape[1:])
+        a = np.asarray(jax.device_get(
+            expand_a(ctx, bytes.fromhex(d["a_seed"]), shape[1])))
+        return PublicKey(data=jnp.asarray(np.stack([b, a]), U64))
     return PublicKey(data=jnp.asarray(_b64_to_arr(d["data"], d["shape"]), U64))
 
 
@@ -150,6 +173,10 @@ def load_json(path: str) -> Dict[str, Any]:
 # v2 (default): per-limb minimal byte width — each limb's residues are < q_i,
 # so limb i needs only ceil(bits(q_i)/8) bytes (reference chain: 8/5/5/3 B ≈
 # 34% smaller than v1 before Base64). Readers accept both.
+# v3 (seeded, VERDICT r3 #6): for fresh SECRET-key ciphertexts whose c1 is
+# the seed-expanded uniform poly (rlwe.encrypt_sk), the wire ships only the
+# packed c0 limbs + the 16-byte Philox seed — ~2x smaller again. Readers
+# regenerate c1 = expand_a(seed) (needs a ctx).
 
 def _pack_limb(a: np.ndarray, width: int) -> bytes:
     raw = np.ascontiguousarray(a.astype("<u8")).view(np.uint8).reshape(-1, 8)
@@ -165,12 +192,27 @@ def _unpack_limb(b: bytes, width: int, n: int) -> np.ndarray:
     return out.view("<u8")[:, 0].copy()
 
 
-def ciphertext_to_bytes(ct: Ciphertext, version: int = 2) -> bytes:
+def ciphertext_to_bytes(ct: Ciphertext, version: int = 2,
+                        a_seed: bytes | None = None) -> bytes:
     k, l, n = ct.data.shape
     data = np.asarray(ct.data)
     if version == 1:
         header = MAGIC + struct.pack("<IIIId", 1, k, l, n, float(ct.scale))
         return header + data.astype("<u8").tobytes()
+    if a_seed is not None:
+        # v3: the caller guarantees ct.data[1] == expand_a(a_seed, l)
+        # (rlwe.encrypt_sk); only c0 travels.
+        if k != 2 or len(a_seed) != 16:
+            raise ValueError("seeded wire needs a 2-component ct + 16B seed")
+        c0 = data[0]
+        widths = bytes(
+            max(1, (int(c0[i].max()).bit_length() + 7) // 8) if n else 8
+            for i in range(l)
+        )
+        header = (MAGIC + struct.pack("<IIIId", 3, k, l, n, float(ct.scale))
+                  + widths + a_seed)
+        return header + b"".join(
+            _pack_limb(c0[i].ravel(), widths[i]) for i in range(l))
     # per-limb widths from the actual residue magnitudes (power-of-2 safe:
     # max residue < q_i determines the needed bytes)
     widths = bytes(
@@ -184,7 +226,7 @@ def ciphertext_to_bytes(ct: Ciphertext, version: int = 2) -> bytes:
     return b"".join(parts)
 
 
-def ciphertext_from_bytes(b: bytes) -> Ciphertext:
+def ciphertext_from_bytes(b: bytes, ctx: CkksContext | None = None) -> Ciphertext:
     if b[:4] != MAGIC:
         raise ValueError("bad ciphertext magic")
     ver, k, l, n, scale = struct.unpack("<IIIId", b[4:28])
@@ -198,17 +240,32 @@ def ciphertext_from_bytes(b: bytes) -> Ciphertext:
             w = widths[i]
             data[:, i] = _unpack_limb(b[off:], w, k * n).reshape(k, n)
             off += k * n * w
+    elif ver == 3:
+        if ctx is None:
+            raise ValueError("seeded (v3) ciphertext needs a context to "
+                             "re-expand c1 — pass ctx")
+        from .rlwe import expand_a
+
+        widths = b[28 : 28 + l]
+        seed = b[28 + l : 28 + l + 16]
+        data = np.zeros((k, l, n), np.uint64)
+        off = 28 + l + 16
+        for i in range(l):
+            w = widths[i]
+            data[0, i] = _unpack_limb(b[off:], w, n)
+            off += n * w
+        data[1] = np.asarray(jax.device_get(expand_a(ctx, seed, l)))
     else:
         raise ValueError(f"unsupported ciphertext version {ver}")
     return Ciphertext(data=jnp.asarray(data, U64), scale=scale)
 
 
-def ciphertext_to_b64(ct: Ciphertext) -> str:
-    return base64.b64encode(ciphertext_to_bytes(ct)).decode()
+def ciphertext_to_b64(ct: Ciphertext, a_seed: bytes | None = None) -> str:
+    return base64.b64encode(ciphertext_to_bytes(ct, a_seed=a_seed)).decode()
 
 
-def ciphertext_from_b64(s: str) -> Ciphertext:
-    return ciphertext_from_bytes(base64.b64decode(s))
+def ciphertext_from_b64(s: str, ctx: CkksContext | None = None) -> Ciphertext:
+    return ciphertext_from_bytes(base64.b64decode(s), ctx)
 
 
 # -- OpenFHE wire compatibility (encryptModelWeights.cpp:85-86) -------------
@@ -246,12 +303,12 @@ def ciphertext_to_b64_openfhe(ct: Ciphertext, ctx: CkksContext,
     return base64.b64encode(buf).decode()
 
 
-def ciphertext_from_b64_any(s: str) -> Ciphertext:
+def ciphertext_from_b64_any(s: str, ctx: CkksContext | None = None) -> Ciphertext:
     """Parse either wire format: this package's PQTC blobs or OpenFHE
     cereal-BINARY (auto-detected by the leading bytes)."""
     b = base64.b64decode(s)
     if b[:4] == MAGIC:
-        return ciphertext_from_bytes(b)
+        return ciphertext_from_bytes(b, ctx)
     from .openfhe_emit import parse_ciphertext_binary
 
     rec = parse_ciphertext_binary(b)

@@ -118,11 +118,24 @@ def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
     return params
 
 
+def _derived_seed(seed: int | None, tag: str) -> bytes:
+    """16-byte PRF seed: from OS entropy, or deterministically from an
+    explicit test seed."""
+    if seed is None:
+        return os.urandom(16)
+    import hashlib
+
+    return hashlib.blake2b(f"{tag}:{seed}".encode(), digest_size=16).digest()
+
+
 def key_gen(cc_path: str, pub_out: str, priv_out: str, seed: int | None = None) -> None:
-    """cc->KeyGen() + serialize both halves (keyGen.cpp:33,41-48)."""
+    """cc->KeyGen() + serialize both halves (keyGen.cpp:33,41-48). The
+    public key's uniform ``a`` half is seed-expanded (rlwe.expand_a) so the
+    pubkey wire ships b + a 16-byte seed — ~2x smaller."""
     sch = load_scheme(cc_path)
-    sk, pk = sch.keygen(_rng(seed))
-    ser.save_json(ser.serialize_public_key(pk), pub_out)
+    a_seed = _derived_seed(seed, "pk_a")
+    sk, pk = sch.keygen(_rng(seed), a_seed=a_seed)
+    ser.save_json(ser.serialize_public_key(pk, a_seed=a_seed), pub_out)
     ser.save_json(ser.serialize_secret_key(sk), priv_out)
 
 
@@ -131,7 +144,7 @@ def rekey_gen(cc_path: str, own_priv: str, peer_pub: str, rekey_out: str,
     """cc->ReKeyGen(own_sk, peer_pk) (REkeyGen.cpp:52): PRE key own→peer."""
     sch = load_scheme(cc_path)
     sk = ser.deserialize_secret_key(ser.load_json(own_priv), sch.ctx)
-    pk = ser.deserialize_public_key(ser.load_json(peer_pub))
+    pk = ser.deserialize_public_key(ser.load_json(peer_pub), sch.ctx)
     rk = sch.rekey_gen(sk, pk, _rng(seed))
     ser.save_json(ser.serialize_ksk(rk), rekey_out)
 
@@ -145,9 +158,20 @@ def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
     """Per layer: encrypt scalar mean/std_dev and batch-chunked values
     (encryptModelWeights.cpp:67-119). All chunks of all layers are encrypted
     as ONE batched device op. ``wire='openfhe'`` emits the ciphertext fields
-    as Base64(cereal-BINARY) — byte-compatible with the reference's wire."""
+    as Base64(cereal-BINARY) — byte-compatible with the reference's wire.
+
+    Compact wire (VERDICT r3 #6): pass the client's SECRET key file as
+    ``pub_path`` (auto-detected) — each chunk is then sk-encrypted with a
+    seed-expanded uniform c1 and the native wire ships only c0 + a 16-byte
+    seed per ciphertext (~2x smaller uploads; decrypt/PRE/aggregate are
+    unchanged)."""
     sch = load_scheme(cc_path)
-    pk = ser.deserialize_public_key(ser.load_json(pub_path))
+    keydoc = ser.load_json(pub_path)
+    seeded = keydoc.get("type") == "ckks_secret_key" and wire != "openfhe"
+    if seeded:
+        sk_enc = ser.deserialize_secret_key(keydoc, sch.ctx)
+    else:
+        pk = ser.deserialize_public_key(keydoc, sch.ctx)
     with open(weights_in) as f:
         weights = json.load(f)
 
@@ -166,16 +190,22 @@ def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
             plain_vecs.append(chunk)  # zero-padding happens in encode
         layout.append((entry, nchunks))
 
-    cts = _encrypt_batch(sch, pk, plain_vecs, _rng(seed))
+    if seeded:
+        seeds = [_derived_seed(seed if seed is None else seed + 7919 * j,
+                               f"ct_a:{j}") for j in range(len(plain_vecs))]
+        cts = _encrypt_batch_sk(sch, sk_enc, plain_vecs, _rng(seed), seeds)
+    else:
+        seeds = [None] * len(plain_vecs)
+        cts = _encrypt_batch(sch, pk, plain_vecs, _rng(seed))
     out = {"weights_summary": []}
     i = 0
     for entry, nchunks in layout:
         rec = {
             "layer": entry["layer"],
             "shape": entry["shape"],
-            "mean": _ct_to_wire(cts[i], sch, wire),
-            "std_dev": _ct_to_wire(cts[i + 1], sch, wire),
-            "values": [_ct_to_wire(cts[i + 2 + c], sch, wire)
+            "mean": _ct_to_wire(cts[i], sch, wire, seeds[i]),
+            "std_dev": _ct_to_wire(cts[i + 1], sch, wire, seeds[i + 1]),
+            "values": [_ct_to_wire(cts[i + 2 + c], sch, wire, seeds[i + 2 + c])
                        for c in range(nchunks)],
         }
         i += 2 + nchunks
@@ -208,6 +238,49 @@ def _encrypt_batch(sch: CkksScheme, pk, vecs: Sequence[np.ndarray], rng) -> List
     return [Ciphertext(jnp.asarray(d), scale=scale) for d in data]
 
 
+def _encrypt_batch_sk(sch: CkksScheme, sk, vecs: Sequence[np.ndarray], rng,
+                      seeds: Sequence[bytes]) -> List[Ciphertext]:
+    """Seeded symmetric encryption, batched: ONE host expansion of all the
+    uniform c1 polys (Philox) + one batched c0 computation on device."""
+    from ..ckks import rlwe
+
+    l = sch.params.num_q
+    idx = sch.ctx.q_idx(l)
+    moduli = [sch.ctx.moduli_qp[i] for i in idx]
+    scale = sch.params.scale
+    rns = sch.encoder.to_rns_batch(
+        sch.encoder.encode_batch(vecs, scale), moduli)  # (B, l, n)
+    pts_eval = sch.ctx.ntt(jnp.asarray(rns), idx)
+    a_stack = jnp.stack([rlwe.expand_a(sch.ctx, sd, l) for sd in seeds])
+
+    def enc_one(pt_data, a, key):
+        from ..ckks.types import Plaintext
+
+        return _encrypt_sk_with_a(sch.ctx, sk, Plaintext(pt_data, scale=scale),
+                                  key, a)
+
+    keys = jax.random.split(rng, len(vecs))
+    data = jax.jit(jax.vmap(enc_one))(pts_eval, a_stack, keys)
+    data = np.asarray(jax.device_get(data))
+    return [Ciphertext(jnp.asarray(d), scale=scale) for d in data]
+
+
+def _encrypt_sk_with_a(ctx, sk, pt, rng_key, a):
+    """rlwe.encrypt_sk body with the mask poly precomputed (vmap-friendly)."""
+    from ..ckks.rlwe import _poly_mul, _signed_to_eval
+    from ..core import sampling
+    from ..core.modarith import modadd, modneg
+
+    l = pt.nlimbs
+    idx = ctx.q_idx(l)
+    q, _, _ = ctx.limb_consts(idx)
+    e = _signed_to_eval(ctx, sampling.discrete_gaussian(rng_key, ctx.params.n,
+                                                        ctx.params.sigma), idx)
+    s = sk.s_eval[:l]
+    c0 = modadd(modadd(modneg(_poly_mul(ctx, a, s, idx), q), e, q), pt.data, q)
+    return jnp.stack([c0, a])
+
+
 def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -> Dict:
     """Inverse of encrypt_weights with pad-trim to prod(shape)
     (decryptModelWeights.cpp:97-118)."""
@@ -218,12 +291,12 @@ def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -
 
     out = {"weights_summary": []}
     for entry in enc["weights_summary"]:
-        mean = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["mean"]), num=1)[0])
-        std = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["std_dev"]), num=1)[0])
+        mean = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["mean"], sch.ctx), num=1)[0])
+        std = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["std_dev"], sch.ctx), num=1)[0])
         size = int(np.prod(entry["shape"]))
         vals = []
         for s in entry["values"]:
-            vals.append(sch.decrypt(sk, ser.ciphertext_from_b64_any(s)))
+            vals.append(sch.decrypt(sk, ser.ciphertext_from_b64_any(s, sch.ctx)))
         flat = np.concatenate(vals)[:size]
         out["weights_summary"].append({
             "layer": entry["layer"],
@@ -241,25 +314,29 @@ def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -
 # Server-side: PRE + aggregation
 # ---------------------------------------------------------------------------
 
-def _ct_to_wire(ct: Ciphertext, sch: CkksScheme, wire: str) -> str:
-    """'native' → PQTC blobs; 'openfhe' → Base64(cereal-BINARY), the
-    reference's exact ciphertext wire (encryptModelWeights.cpp:85-86)."""
+def _ct_to_wire(ct: Ciphertext, sch: CkksScheme, wire: str,
+                a_seed: bytes | None = None) -> str:
+    """'native' → PQTC blobs (v3 seeded when ``a_seed`` is given);
+    'openfhe' → Base64(cereal-BINARY), the reference's exact ciphertext
+    wire (encryptModelWeights.cpp:85-86)."""
     if wire == "openfhe":
         return ser.ciphertext_to_b64_openfhe(ct, sch.ctx)
-    return ser.ciphertext_to_b64(ct)
+    return ser.ciphertext_to_b64(ct, a_seed=a_seed)
 
 
-def _load_all_cts(enc: Dict) -> tuple[list, list[Ciphertext]]:
+def _load_all_cts(enc: Dict, sch: CkksScheme | None = None) -> tuple[list, list[Ciphertext]]:
     """Flatten an encrypted-weights document into (slots, ciphertexts).
-    Both wire formats are accepted (auto-detected per field)."""
+    All wire formats are accepted (auto-detected per field; seeded v3
+    blobs re-expand c1 through ``sch``'s context)."""
+    ctx = sch.ctx if sch is not None else None
     slots, cts = [], []
     for entry in enc["weights_summary"]:
         for field in ("mean", "std_dev"):
             slots.append((entry, field, None))
-            cts.append(ser.ciphertext_from_b64_any(entry[field]))
+            cts.append(ser.ciphertext_from_b64_any(entry[field], ctx))
         for i, s in enumerate(entry["values"]):
             slots.append((entry, "values", i))
-            cts.append(ser.ciphertext_from_b64_any(s))
+            cts.append(ser.ciphertext_from_b64_any(s, ctx))
     return slots, cts
 
 
@@ -298,10 +375,11 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
     if indcca and pub_path is None:
         raise ValueError("PREMode INDCCA: changeCipherDomain needs the target "
                          "domain's public key (pub_path)")
-    pk = ser.deserialize_public_key(ser.load_json(pub_path)) if indcca else None
+    pk = (ser.deserialize_public_key(ser.load_json(pub_path), sch.ctx)
+          if indcca else None)
     with open(enc_in) as f:
         enc = json.load(f)
-    slots, cts = _load_all_cts(enc)
+    slots, cts = _load_all_cts(enc, sch)
     stack = jnp.stack([ct.data for ct in cts])  # (B, 2, l, n)
     if drop_limbs:
         if drop_limbs >= stack.shape[2]:
@@ -389,7 +467,7 @@ def threshold_partial_decrypt(cc_path: str, priv_share_path: str, enc_in: str,
         smudging_bits = th.DEFAULT_SMUDGING_BITS
     with open(enc_in) as f:
         enc = json.load(f)
-    slots, cts = _load_all_cts(enc)
+    slots, cts = _load_all_cts(enc, sch)
     stack = jnp.stack([ct.data for ct in cts])          # (B, 2, l, n)
     scale = cts[0].scale
     keys = jax.random.split(_rng(seed), len(cts))
@@ -482,7 +560,7 @@ def threshold_partial_decrypt_t(cc_path: str, sigma_path: str, enc_in: str,
         smudging_bits = th.DEFAULT_SMUDGING_BITS
     with open(enc_in) as f:
         enc = json.load(f)
-    slots, cts = _load_all_cts(enc)
+    slots, cts = _load_all_cts(enc, sch)
     stack = jnp.stack([ct.data for ct in cts])
     scale = cts[0].scale
     keys = jax.random.split(_rng(seed), len(cts))
@@ -524,7 +602,7 @@ def threshold_fuse_decrypt(cc_path: str, enc_in: str,
         with open(p) as f:
             part_docs.append(json.load(f))
 
-    slots, cts = _load_all_cts(enc)
+    slots, cts = _load_all_cts(enc, sch)
     scale = cts[0].scale
     l, n = cts[0].data.shape[1], cts[0].data.shape[2]
     stack = jnp.stack([ct.data for ct in cts])          # (B, 2, l, n)
@@ -611,11 +689,13 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
         nv = min([len(entry["values"])] + [len(p["values"]) for p in peers])
         rec = {"layer": entry["layer"], "shape": entry["shape"]}
         for field in ("mean", "std_dev"):
-            stack_groups.append([ser.ciphertext_from_b64_any(entry[field])]
-                                + [ser.ciphertext_from_b64_any(p[field]) for p in peers])
+            stack_groups.append(
+                [ser.ciphertext_from_b64_any(entry[field], sch.ctx)]
+                + [ser.ciphertext_from_b64_any(p[field], sch.ctx) for p in peers])
         for i in range(nv):
-            stack_groups.append([ser.ciphertext_from_b64_any(entry["values"][i])]
-                                + [ser.ciphertext_from_b64_any(p["values"][i]) for p in peers])
+            stack_groups.append(
+                [ser.ciphertext_from_b64_any(entry["values"][i], sch.ctx)]
+                + [ser.ciphertext_from_b64_any(p["values"][i], sch.ctx) for p in peers])
         layout.append((rec, nv))
 
     if not stack_groups:

@@ -56,11 +56,18 @@ class ShardedEvalContext(CkksContext):
     """
 
     def __init__(self, params: CkksParams, mesh: Mesh, axis: str = "coef"):
-        if params.ntt_backend != "fourstep":
+        # Per-shard transforms need the four-step stage split at the
+        # all-to-all, so the fused single-kernel impls map to their
+        # bit-exact stage-separable equivalents: pallas_mxu/mxu run the
+        # int8 MXU digit-matmul column transforms per shard (the fast
+        # path), pallas/xla the u64 Shoup column kernels.
+        impl = "mxu" if params.ntt_impl in ("mxu", "pallas_mxu") else "xla"
+        if params.ntt_backend != "fourstep" or params.ntt_impl != impl:
             import dataclasses
 
             params = dataclasses.replace(params, ntt_backend="fourstep",
-                                         ntt_impl="xla")
+                                         ntt_impl=impl)
+        self.impl = impl
         super().__init__(params)       # builds self.fntt with FourStepTables
         self.mesh = mesh
         self.axis = axis
@@ -103,10 +110,79 @@ class ShardedEvalContext(CkksContext):
         n2loc = self.n2 // self.D
         return jax.lax.dynamic_slice_in_dim(t, i * n2loc, n2loc, axis=2)
 
+    # -- MXU digit-matmul shard-local transforms (impl='mxu') ----------------
+    # Same stage split as the xla path (stage1 → twiddle → all-to-all →
+    # stage2) but each column transform is the int8 MXU digit-matmul of
+    # ops/mxu_ntt.py — bit-exact vs every other backend, so sharded-mxu
+    # output equals the replicated transforms residue-for-residue.
+
+    def _twiddle_shard(self, quad, loc: int):
+        """This shard's ``loc``-column block of a (m, lanes) Shoup quad."""
+        i = jax.lax.axis_index(self.axis)
+        return tuple(
+            jax.lax.dynamic_slice_in_dim(jnp.asarray(t), i * loc, loc, axis=1)
+            for t in quad)
+
+    def _ntt_mxu(self, a, sel):
+        from ..ops import mxu_ntt as MX
+        from ..ops import u32pair as up
+
+        lead = a.shape[:-2]
+        n2loc = self.n2 // self.D
+        pairs = []
+        for k, i in enumerate(sel):
+            tabs = self.fntt.mxu_tables(i)
+            lo, hi = up.split64(a[..., k, :].reshape(lead + (self.n1, n2loc)))
+            lo, hi = MX._stage(lo, hi, jnp.asarray(tabs.a1), tabs, -2)
+            lo, hi = MX._lazy_tmul(lo, hi, self._twiddle_shard(tabs.t1, n2loc),
+                                   tabs)
+            pairs.append(up.join64(lo, hi))
+        y = jnp.stack(pairs, axis=-3)                  # (..., l, n1, n2loc)
+        y = jax.lax.all_to_all(y, self.axis, split_axis=y.ndim - 2,
+                               concat_axis=y.ndim - 1, tiled=True)
+        y = jnp.swapaxes(y, -1, -2)                    # (..., l, n2, n1loc)
+        outs = []
+        for k, i in enumerate(sel):
+            tabs = self.fntt.mxu_tables(i)
+            lo, hi = up.split64(y[..., k, :, :])
+            lo, hi = MX._stage(lo, hi, jnp.asarray(tabs.a2), tabs, -2)
+            lo, hi = MX._strict(lo, hi, tabs)
+            outs.append(up.join64(lo, hi))
+        return jnp.stack(outs, axis=-3).reshape(lead + (len(sel), -1))
+
+    def _intt_mxu(self, a, sel):
+        from ..ops import mxu_ntt as MX
+        from ..ops import u32pair as up
+
+        lead = a.shape[:-2]
+        n1loc = self.n1 // self.D
+        pairs = []
+        for k, i in enumerate(sel):
+            tabs = self.fntt.mxu_tables(i)
+            lo, hi = up.split64(a[..., k, :].reshape(lead + (self.n2, n1loc)))
+            lo, hi = MX._stage(lo, hi, jnp.asarray(tabs.a2i), tabs, -2)
+            lo, hi = MX._lazy_tmul(lo, hi, self._twiddle_shard(tabs.t1i, n1loc),
+                                   tabs)
+            pairs.append(up.join64(lo, hi))
+        y = jnp.stack(pairs, axis=-3)                  # (..., l, n2, n1loc)
+        y = jax.lax.all_to_all(y, self.axis, split_axis=y.ndim - 2,
+                               concat_axis=y.ndim - 1, tiled=True)
+        y = jnp.swapaxes(y, -1, -2)                    # (..., l, n1, n2loc)
+        outs = []
+        for k, i in enumerate(sel):
+            tabs = self.fntt.mxu_tables(i)
+            lo, hi = up.split64(y[..., k, :, :])
+            lo, hi = MX._stage(lo, hi, jnp.asarray(tabs.a1i), tabs, -2)
+            lo, hi = MX._strict(lo, hi, tabs)
+            outs.append(up.join64(lo, hi))
+        return jnp.stack(outs, axis=-3).reshape(lead + (len(sel), -1))
+
     def ntt(self, a, idx: Sequence[int]):
         """coeff local flat (..., l, N/D) [(n1, n2loc)-order] →
         eval local flat [(n2, n1loc)-order]."""
         sel = list(idx)
+        if self.impl == "mxu":
+            return self._ntt_mxu(a, sel)
         lead = a.shape[:-1]
         n2loc = self.n2 // self.D
         y = a.reshape(lead + (self.n1, n2loc))
@@ -125,6 +201,8 @@ class ShardedEvalContext(CkksContext):
         """eval local flat [(n2, n1loc)-order] → coeff local flat
         [(n1, n2loc)-order]."""
         sel = list(idx)
+        if self.impl == "mxu":
+            return self._intt_mxu(a, sel)
         lead = a.shape[:-1]
         n1loc = self.n1 // self.D
         y = a.reshape(lead + (self.n2, n1loc))

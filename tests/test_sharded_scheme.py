@@ -154,3 +154,75 @@ def test_rotate_sharded_bitexact(setup):
     got_c = conjugate_sharded(sctx, ct, ck)
     np.testing.assert_array_equal(np.asarray(got_c.data),
                                   np.asarray(want_c.data))
+
+
+@pytest.fixture(scope="module")
+def setup_mxu():
+    """The FAST path sharded: ntt_impl='pallas_mxu' maps to per-shard int8
+    MXU digit-matmul column transforms (VERDICT r3 #3)."""
+    params = CkksParams.generate(n=256, mult_depth=2, scale_bits=40, dnum=2,
+                                 ntt_backend="fourstep", ntt_impl="pallas_mxu")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("client", "coef"))
+    sctx = ShardedEvalContext(params, mesh, axis="coef")
+    assert sctx.impl == "mxu"
+    return params, mesh, sctx
+
+
+def test_sharded_mxu_ntt_matches_replicated(setup, setup_mxu):
+    """Sharded MXU digit-matmul transforms == replicated xla, bit-exact."""
+    from jax.sharding import PartitionSpec as P
+
+    _, sch, _, _ = setup
+    params, mesh, sctx = setup_mxu
+    rng = np.random.default_rng(7)
+    L = params.num_q
+    x = jnp.asarray(np.stack([
+        rng.integers(0, q, params.n, dtype=np.uint64) for q in params.q_moduli
+    ]))
+    idx = tuple(range(L))
+    want = sch.ctx.ntt(x, idx)
+    n1, n2, D = sctx.n1, sctx.n2, sctx.D
+
+    got = jax.jit(jax.shard_map(
+        lambda xm: sctx.ntt(xm.reshape(L, -1), idx).reshape(L, n2, n1 // D),
+        mesh=mesh, in_specs=(P(None, None, "coef"),),
+        out_specs=P(None, None, "coef"),
+    ))(x.reshape(L, n1, n2)).reshape(L, -1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    back = jax.jit(jax.shard_map(
+        lambda xm: sctx.intt(xm.reshape(L, -1), idx).reshape(L, n1, n2 // D),
+        mesh=mesh, in_specs=(P(None, None, "coef"),),
+        out_specs=P(None, None, "coef"),
+    ))(jnp.asarray(got).reshape(L, n2, n1)).reshape(L, -1)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_fedavg_round_sharded_mxu_bitexact(setup, setup_mxu):
+    """The full server round on the sharded FAST path equals the replicated
+    xla computation bit-for-bit (the keyswitch NTTs run as per-shard int8
+    MXU digit-matmuls)."""
+    _, sch, _, _ = setup
+    params, mesh, sctx = setup_mxu
+    rng = np.random.default_rng(8)
+    sk1, pk1 = sch.keygen(jax.random.PRNGKey(50))
+    sk2, pk2 = sch.keygen(jax.random.PRNGKey(51))
+    rk12 = sch.rekey_gen(sk1, pk2, jax.random.PRNGKey(52))
+    rk21 = sch.rekey_gen(sk2, pk1, jax.random.PRNGKey(53))
+    vs1 = rng.uniform(-1, 1, sch.encoder.slots)
+    vs2 = rng.uniform(-1, 1, sch.encoder.slots)
+    ct1 = sch.encrypt_values(pk1, vs1, jax.random.PRNGKey(54))
+    ct2 = sch.encrypt_values(pk2, vs2, jax.random.PRNGKey(55))
+    scale = ct1.scale
+
+    c1in2 = sch.re_encrypt(ct1, rk12)
+    avg = sch.mult_scalar(sch.add(c1in2, ct2), 0.5)
+    want_agg = avg.data
+    want_back = sch.re_encrypt(avg, rk21).data
+
+    stacks = jnp.stack([ct1.data[None], ct2.data[None]])
+    agg, back = fedavg_round_sharded(sctx, stacks, rk12.data, rk21.data, scale)
+    np.testing.assert_array_equal(np.asarray(agg[0]), np.asarray(want_agg))
+    np.testing.assert_array_equal(np.asarray(back[0]), np.asarray(want_back))
+    got = sch.decrypt(sk2, Ciphertext(jnp.asarray(agg[0]), scale=scale))
+    np.testing.assert_allclose(got, (vs1 + vs2) / 2, atol=1e-4)
