@@ -230,9 +230,13 @@ class Orchestrator:
             train_client(ccfg, seed=cfg.seed + 1000 * r + i, verbose=False)
         log(f"client_{i}", "encrypt", "encrypting weights")
         enc = self._cpath(i, f"encrypted_weights_c{i}.json")
-        pk = ("joint-public.key" if cfg.protocol == "threshold"
-              else f"client_{i}-public.key")
-        api.encrypt_weights(self._cpath(i, "CC.json"), self._cpath(i, pk),
+        # threshold mode encrypts under the JOINT public key (no single
+        # holder of the matching secret); PRE mode encrypts under the
+        # client's OWN key, so the secret key is local — use the seeded
+        # compact wire (c0 + 16-byte seed per ct, ~2x smaller uploads)
+        key = ("joint-public.key" if cfg.protocol == "threshold"
+               else f"client_{i}-private.key")
+        api.encrypt_weights(self._cpath(i, "CC.json"), self._cpath(i, key),
                             weights, enc, seed=cfg.seed + 2000 * r + i)
         self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", enc,
                                        client_id=f"client_{i}", type_="enc_weights")
