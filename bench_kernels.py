@@ -65,9 +65,9 @@ def main():
             "mxu": lambda a: jnp.stack(
                 [M.mxu_ntt_limb(a[:, i], mtabs[i]) for i in range(L)], axis=1),
         }
-        if n <= 1 << 15:   # fused-kernel VMEM budget (docs/PERF.md)
-            impls["pallas_mxu"] = lambda a: fs.ntt(
-                a, implementation="pallas_mxu")
+        # N <= 2^15: fully fused single kernel; above: streamed two-kernel
+        # variant (PallasMxuNttBig) — both behind the same impl name
+        impls["pallas_mxu"] = lambda a: fs.ntt(a, implementation="pallas_mxu")
 
         def scan_fn(f1, R):
             def run(a):
@@ -152,11 +152,17 @@ def _bench_keyswitch(jax, jnp, np, dev):
         rk = rng.integers(0, 1 << 59, size=(nd, 2, LK, n), dtype=np.uint64) \
             % np.array(sch.ctx.moduli_qp, np.uint64)[None, None, :, None]
         cd = jax.device_put(jnp.asarray(c), dev)
-        rkd = jax.device_put(jnp.asarray(rk), dev)
+        # production config: long-lived keys are converted to Montgomery
+        # form ONCE (ev.ksk_to_mont) — halves the inner-product multiplies
+        # of every switch (round-3 PERF.md numbers predate this; VERDICT
+        # r3 #2 asked for the re-measure)
+        rkd = ev.ksk_to_mont(
+            sch.ctx, KeySwitchKey(data=jax.device_put(jnp.asarray(rk), dev))).data
 
         def ks_all(cs, k):
             def one(ci):
-                d0, d1 = ev.keyswitch(sch.ctx, ci, KeySwitchKey(data=k), L)
+                d0, d1 = ev.keyswitch(sch.ctx, ci,
+                                      KeySwitchKey(data=k, mont=True), L)
                 return jnp.stack([d0, d1])
             return jax.vmap(one)(cs)
 
@@ -192,14 +198,15 @@ def _bench_keyswitch(jax, jnp, np, dev):
             t_lo, t_hi = timed(jf_lo), timed(jf_hi)
             per_ks_us = (t_hi - t_lo) / 6 / B * 1e6
             results[impl] = per_ks_us
-            print(f"[kbench] keyswitch N=2^14 L={L} B={B} {impl:4s}: "
+            print(f"[kbench] keyswitch N=2^14 l={L} B={B} mont-keys {impl:4s}: "
                   f"{per_ks_us:8.1f} us/keyswitch on-chip "
                   f"({B*6/(t_hi-t_lo):7.0f} keyswitch/s)", file=sys.stderr)
         except Exception as e:
             print(f"[kbench] keyswitch {impl} FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
             results[impl] = None
-    print(json.dumps({"metric": "keyswitch_us_N16384_L4", "results": results}))
+    print(json.dumps({"metric": "keyswitch_us_N16384_L3_montkeys",
+                  "results": results}))
 
 
 if __name__ == "__main__":

@@ -248,21 +248,46 @@ def keyswitch_apply(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
     idx_p = ctx.p_idx()
     sel_ext = np.asarray(tuple(idx_q) + tuple(idx_p), dtype=np.int32)
     q_ext, qinv_ext, r2_ext = ctx.limb_consts(sel_ext)
-    acc0 = None
-    for j, dig in enumerate(digits):
-        k0 = ksk.data[j, 0][sel_ext]
-        k1 = ksk.data[j, 1][sel_ext]
-        if ksk.mont:
-            t0 = mont_mul(dig, k0, q_ext, qinv_ext)
-            t1 = mont_mul(dig, k1, q_ext, qinv_ext)
-        else:
-            t0 = modmul(dig, k0, q_ext, qinv_ext, r2_ext)
-            t1 = modmul(dig, k1, q_ext, qinv_ext, r2_ext)
-        if acc0 is None:
-            acc0, acc1 = t0, t1
-        else:
-            acc0 = modadd(acc0, t0, q_ext)
-            acc1 = modadd(acc1, t1, q_ext)
+    if ksk.mont and getattr(ctx, "use_pallas_ks", False) and len(digits) >= 2:
+        # nd == 1 (lazy reduced levels) stays on the XLA path: the inner
+        # product is then 2 mont_muls/coeff and XLA fuses it into the
+        # neighboring stages — the kernel's materialization boundary was
+        # measured SLOWER there (composed round 3.7 -> 4.8 ms) while the
+        # full-level switch (nd >= 2) gains 274 -> 161 us (docs/PERF.md).
+        # fused u32-pair Pallas kernel: the whole inner product (both
+        # components, all digits) in one VMEM pass (ops/pallas_ks.py)
+        from ..ops.pallas_ks import ks_inner_product
+
+        # at reduced levels only the first len(digits) digit groups are
+        # active (empty groups are dropped by _ks_decomp_consts) — slice
+        # the KSK rows to match
+        dig_stack = jnp.stack(digits, axis=-3)         # lead + (nd, LK, n)
+        ksk_sel = ksk.data[: len(digits), :, sel_ext]  # (nd, 2, LK, n)
+        qp = np.stack([
+            (np.asarray(q_ext)[:, 0] & 0xFFFFFFFF).astype(np.uint32),
+            (np.asarray(q_ext)[:, 0] >> 32).astype(np.uint32)], axis=1)
+        ip = np.stack([
+            (np.asarray(qinv_ext)[:, 0] & 0xFFFFFFFF).astype(np.uint32),
+            (np.asarray(qinv_ext)[:, 0] >> 32).astype(np.uint32)], axis=1)
+        acc = ks_inner_product(dig_stack, ksk_sel, qp, ip,
+                               interpret=ctx.pallas_ks_interpret)
+        acc0, acc1 = acc[..., 0, :, :], acc[..., 1, :, :]
+    else:
+        acc0 = None
+        for j, dig in enumerate(digits):
+            k0 = ksk.data[j, 0][sel_ext]
+            k1 = ksk.data[j, 1][sel_ext]
+            if ksk.mont:
+                t0 = mont_mul(dig, k0, q_ext, qinv_ext)
+                t1 = mont_mul(dig, k1, q_ext, qinv_ext)
+            else:
+                t0 = modmul(dig, k0, q_ext, qinv_ext, r2_ext)
+                t1 = modmul(dig, k1, q_ext, qinv_ext, r2_ext)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = modadd(acc0, t0, q_ext)
+                acc1 = modadd(acc1, t1, q_ext)
     # one batched ModDown for both components (leading stack dim rides
     # through the NTTs/extension — better lane utilization than two calls)
     both = _mod_down(ctx, jnp.stack([acc0, acc1]), l)

@@ -208,6 +208,14 @@ class CkksContext:
 
             self.fntt = FourStepNtt(params.n, self.moduli_qp, self.basis.psis)
         self._galois_cache: Dict[int, np.ndarray] = {}
+        # Fused Pallas u32-pair keyswitch inner product (ops/pallas_ks.py):
+        # enabled with the Pallas NTT config on real accelerators; tests on
+        # CPU exercise it via interpret mode (pallas_ks_interpret).
+        import jax as _jax
+
+        self.use_pallas_ks = (params.ntt_impl == "pallas_mxu"
+                              and _jax.devices()[0].platform != "cpu")
+        self.pallas_ks_interpret = False
 
         qp = self.moduli_qp
         self.q_vec = _const_stack(qp)                                   # (L+K, 1)

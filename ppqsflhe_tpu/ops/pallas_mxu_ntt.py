@@ -102,6 +102,8 @@ def _kernel_recompose(planes_i32, m: int, nd: int, split: int,
     w2 = h2 + c1
     ulo = (w0 >> rs) | (w1 << (32 - rs))
     uhi = (w1 >> rs) | (w2 << (32 - rs))
+    if split >= nd:          # high plane group empty (nd <= 4 limbs)
+        return ulo, uhi
     glo, ghi = shl(plane(split), 0)
     for e in range(split + 1, nd):
         tlo, thi = shl(plane(e), M.DIGIT_BITS * (e - split))
@@ -117,15 +119,20 @@ class PallasMxuNtt:
         self.tabs = [M.MxuNttTables.build(n, int(q), int(p))
                      for q, p in zip(moduli, psis)]
         self.n1, self.n2 = self.tabs[0].n1, self.tabs[0].n2
-        self.nd = max(t.nd for t in self.tabs)
+        # per-limb digit counts: limbs are grouped by nd and each group
+        # runs a kernel at its TRUE digit count — the round-3 uniform pad
+        # to nd_max=9 made every 40-bit limb pay (9/6)² of the MXU work
+        # and 9/6 of the digitize/recompose glue (VERDICT r4 re-measure)
+        self._nd_of = [t.nd for t in self.tabs]
         for t in self.tabs:
             if t.plan.mode != "redc" or t.plan.split != 4:
                 raise ValueError("uniform kernel needs the redc/4 plan")
         self.split = 4
-        padded = [_pad_tables(t, self.nd) for t in self.tabs]
+        padded = [_pad_tables(t, t.nd) for t in self.tabs]
         self._mats = {
-            k: np.stack([p[k] for p in padded]) for k in ("a1", "a2", "a2i", "a1i")
+            k: [p[k] for p in padded] for k in ("a1", "a2", "a2i", "a1i")
         }
+        self._mat_cache = {}
         quad = lambda name: tuple(
             np.stack([np.asarray(getattr(t, name)[i]) for t in self.tabs])
             for i in range(4))
@@ -140,29 +147,61 @@ class PallasMxuNtt:
             if t.plan.mode == "redc" else np.array([[0]], np.uint32)
             for t in self.tabs])
 
-    def _run(self, x64, forward: bool, idx=None, interpret: bool = False):
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
+    def _group_mats(self, name, idxs):
+        """Stacked group matrices, cached as NUMPY (device constants created
+        inside a trace would leak tracers across jit calls)."""
+        key = (name, tuple(idxs))
+        m = self._mat_cache.get(key)
+        if m is None:
+            m = self._mat_cache[key] = np.stack(
+                [self._mats[name][i] for i in idxs])
+        return jnp.asarray(m)
 
+    def _run(self, x64, forward: bool, idx=None, interpret: bool = False):
         L = x64.shape[-2]
         lead = x64.shape[:-2]
         x = x64.reshape((-1, L, self.n))
         B = x.shape[0]
         sel = list(range(len(self.tabs))) if idx is None else list(idx)
         assert len(sel) == L
-        n1, n2, nd, split = self.n1, self.n2, self.nd, self.split
-
-        m_a = ("a1", "a2") if forward else ("a2i", "a1i")
-        mats = [jnp.asarray(self._mats[k][sel]) for k in m_a]
-        tquad = [jnp.asarray(a[sel]) for a in (self._t1 if forward else self._t1i)]
-        qlo_a, qhi_a = (jnp.asarray(a[sel]) for a in self._q)
-        q2lo_a, q2hi_a = (jnp.asarray(a[sel]) for a in self._q2)
-        qinv_a = jnp.asarray(self._qinv[sel])
+        n1, n2 = self.n1, self.n2
 
         shape_in = (n1, n2) if forward else (n2, n1)
         shape_out = (n2, n1) if forward else (n1, n2)
         xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(B, L, *shape_in)
         xhi = (x >> jnp.uint64(32)).astype(jnp.uint32).reshape(B, L, *shape_in)
+
+        groups: dict = {}
+        for k, i in enumerate(sel):
+            groups.setdefault(self._nd_of[i], []).append(k)
+        parts = []
+        order = []
+        for nd, ks in sorted(groups.items()):
+            idxs = [sel[k] for k in ks]
+            order.extend(ks)
+            ksel = np.asarray(ks, np.int32)
+            parts.append(self._run_group(
+                jnp.take(xlo, ksel, axis=1), jnp.take(xhi, ksel, axis=1),
+                idxs, nd, forward, shape_in, shape_out, interpret))
+        out = jnp.concatenate(parts, axis=1)
+        inv = np.argsort(np.asarray(order))
+        out = jnp.take(out, jnp.asarray(inv, jnp.int32), axis=1)
+        return out.reshape(lead + (L, self.n))
+
+    def _run_group(self, xlo, xhi, idxs, nd, forward, shape_in, shape_out,
+                   interpret):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B, L = xlo.shape[0], xlo.shape[1]
+        split = self.split
+        iarr = np.asarray(idxs)
+        m_a = ("a1", "a2") if forward else ("a2i", "a1i")
+        mats = [self._group_mats(k, idxs) for k in m_a]
+        tquad = [jnp.asarray(a[iarr]) for a in (self._t1 if forward else self._t1i)]
+        qlo_a, qhi_a = (jnp.asarray(a[iarr]) for a in self._q)
+        q2lo_a, q2hi_a = (jnp.asarray(a[iarr]) for a in self._q2)
+        qinv_a = jnp.asarray(self._qinv[iarr])
 
         Z = np.int32(0)
         m1_dim = shape_in[0]            # first-stage transform size
@@ -226,7 +265,224 @@ class PallasMxuNtt:
             ),
             interpret=interpret,
         )(xlo, xhi, *mats, *tquad, qlo_a, qhi_a, q2lo_a, q2hi_a, qinv_a)
-        out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
+        return olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
+
+    def ntt(self, x64, idx=None, interpret: bool = False):
+        return self._run(x64, True, idx, interpret)
+
+    def intt(self, x64, idx=None, interpret: bool = False):
+        return self._run(x64, False, idx, interpret)
+
+
+class PallasMxuNttBig:
+    """Streamed two-kernel variant for rings where BOTH padded stage
+    matrices cannot co-reside in VMEM (N = 2^16: 2 × 5.3 MB int8 at
+    nd=9, m=256 — VERDICT r3 #1).
+
+    Split the fused kernel at the inter-stage transpose:
+
+      kernel A: digitize → int8 MXU dot (stage 1) → REDC → lazy twiddle
+      kernel B: transpose block → digitize → dot (stage 2) → REDC → csub
+
+    Each kernel holds ONE full stage matrix in VMEM; its BlockSpec index
+    depends only on the limb, so Mosaic's pipeline fetches it once per limb
+    and revisits it across all (ct, column-block) grid steps. Only the
+    recomposed u32 pairs (8 B/coeff) round-trip HBM between the kernels —
+    ~1 MB/limb vs the plain-XLA mxu path's ~9 MB of int32 digit planes,
+    which is exactly what bounds that path at this size (docs/PERF.md).
+
+    The arithmetic bodies are shared with :class:`PallasMxuNtt`, so outputs
+    stay bit-exact across every backend.
+    """
+
+    def __init__(self, n: int, moduli, psis, blk: int = 128):
+        self.n = n
+        self.tabs = [M.MxuNttTables.build(n, int(q), int(p))
+                     for q, p in zip(moduli, psis)]
+        self.n1, self.n2 = self.tabs[0].n1, self.tabs[0].n2
+        if self.n1 % blk and blk % self.n1:
+            raise ValueError(f"blk {blk} incompatible with n1={self.n1}")
+        self.blk = blk
+        # Limbs run at their OWN digit count (grouped per nd below) — a
+        # uniform pad to nd_max=9 would waste (9/6)^2 of the MXU work on
+        # every 40-bit limb (measured 22 µs/limb padded vs the per-nd
+        # accounting ~15 µs at N=2^16).
+        self._nd_of = [t.nd for t in self.tabs]
+        for t in self.tabs:
+            if t.plan.mode != "redc" or t.plan.split != 4:
+                raise ValueError("uniform kernel needs the redc/4 plan")
+        self.split = 4
+        padded = [_pad_tables(t, t.nd) for t in self.tabs]
+        self._mats = {
+            k: [p[k] for p in padded] for k in ("a1", "a2", "a2i", "a1i")
+        }
+        self._mat_cache = {}    # (name, tuple(limb idxs)) -> stacked jnp
+        quad = lambda name: tuple(
+            np.stack([np.asarray(getattr(t, name)[i]) for t in self.tabs])
+            for i in range(4))
+        self._t1 = quad("t1")           # each (L, n1, n2) u32
+        self._t1i = quad("t1i")         # each (L, n2, n1)
+        self._q = (np.stack([np.array([[t.q_pair[0]]], np.uint32) for t in self.tabs]),
+                   np.stack([np.array([[t.q_pair[1]]], np.uint32) for t in self.tabs]))
+        self._q2 = (np.stack([np.array([[t.q2_pair[0]]], np.uint32) for t in self.tabs]),
+                    np.stack([np.array([[t.q2_pair[1]]], np.uint32) for t in self.tabs]))
+        self._qinv = np.stack([
+            np.array([[np.uint32(t.plan.qinv_r & 0xFFFFFFFF)]], np.uint32)
+            for t in self.tabs])
+
+    def _stage_a(self, xlo, xhi, mats, tquad, consts, m_dim, nd, interpret):
+        """grid (L, B, cols/blk): stage-1 dot + REDC + lazy twiddle.
+        x: (B, L, m_dim, cols) u32 pairs → same-shape output, < 2q."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B, L = xlo.shape[0], xlo.shape[1]
+        cols = xlo.shape[3]
+        blk, split = self.blk, self.split
+        Z = np.int32(0)
+
+        def kernel(xlo_ref, xhi_ref, a_ref, tlo_ref, thi_ref, tslo_ref,
+                   tshi_ref, qlo_ref, qhi_ref, qinv_ref, olo_ref, ohi_ref):
+            qlo = qlo_ref[0, 0, 0]
+            qhi = qhi_ref[0, 0, 0]
+            qinv = qinv_ref[0, 0, 0]
+            lo = xlo_ref[0, 0]
+            hi = xhi_ref[0, 0]
+            d = _kernel_digitize(lo, hi, nd)
+            p = jnp.dot(a_ref[0], d, preferred_element_type=jnp.int32)
+            lo, hi = _kernel_recompose(p, m_dim, nd, split, qinv, qlo, qhi)
+            lo, hi = up.shoup_mul64_lazy(
+                lo, hi, tlo_ref[0], thi_ref[0], tslo_ref[0], tshi_ref[0],
+                qlo, qhi)
+            olo_ref[0, 0] = lo
+            ohi_ref[0, 0] = hi
+
+        xspec = pl.BlockSpec((1, 1, m_dim, blk), lambda l, b, k: (b, l, Z, k),
+                             memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1,) + mats.shape[1:],
+                             lambda l, b, k: (l, Z, Z),
+                             memory_space=pltpu.VMEM)
+        tspec = pl.BlockSpec((1, m_dim, blk), lambda l, b, k: (l, Z, k),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((1, 1, 1), lambda l, b, k: (l, Z, Z),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(L, B, cols // blk),
+            in_specs=[xspec, xspec, mspec] + [tspec] * 4 + [cspec] * 3,
+            out_specs=(xspec, xspec),
+            out_shape=(
+                jax.ShapeDtypeStruct(xlo.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(xhi.shape, jnp.uint32),
+            ),
+            interpret=interpret,
+        )(xlo, xhi, mats, *tquad, *consts)
+
+    def _stage_b(self, tlo, thi, mats, consts, m_out, nd, interpret):
+        """grid (L, B, rows/blk): VMEM transpose + stage-2 dot + REDC +
+        strict csub. t: (B, L, rows, m_out) pairs → (B, L, m_out, rows)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B, L = tlo.shape[0], tlo.shape[1]
+        rows = tlo.shape[2]
+        blk, split = self.blk, self.split
+        Z = np.int32(0)
+
+        def kernel(tlo_ref, thi_ref, a_ref, qlo_ref, qhi_ref, q2lo_ref,
+                   q2hi_ref, qinv_ref, olo_ref, ohi_ref):
+            qlo = qlo_ref[0, 0, 0]
+            qhi = qhi_ref[0, 0, 0]
+            q2lo = q2lo_ref[0, 0, 0]
+            q2hi = q2hi_ref[0, 0, 0]
+            qinv = qinv_ref[0, 0, 0]
+            lo = tlo_ref[0, 0].T             # (m_out, blk)
+            hi = thi_ref[0, 0].T
+            d = _kernel_digitize(lo, hi, nd)
+            p = jnp.dot(a_ref[0], d, preferred_element_type=jnp.int32)
+            lo, hi = _kernel_recompose(p, m_out, nd, split, qinv, qlo, qhi)
+            lo, hi = up.csub64(lo, hi, q2lo, q2hi)
+            lo, hi = up.csub64(lo, hi, qlo, qhi)
+            olo_ref[0, 0] = lo
+            ohi_ref[0, 0] = hi
+
+        inspec = pl.BlockSpec((1, 1, blk, m_out), lambda l, b, k: (b, l, k, Z),
+                              memory_space=pltpu.VMEM)
+        outspec = pl.BlockSpec((1, 1, m_out, blk), lambda l, b, k: (b, l, Z, k),
+                               memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1,) + mats.shape[1:],
+                             lambda l, b, k: (l, Z, Z),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((1, 1, 1), lambda l, b, k: (l, Z, Z),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(L, B, rows // blk),
+            in_specs=[inspec, inspec, mspec] + [cspec] * 5,
+            out_specs=(outspec, outspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, L, m_out, rows), jnp.uint32),
+                jax.ShapeDtypeStruct((B, L, m_out, rows), jnp.uint32),
+            ),
+            interpret=interpret,
+        )(tlo, thi, mats, *consts)
+
+    def _group_mats(self, name, idxs):
+        """Stacked group matrices, cached as NUMPY (device constants created
+        inside a trace would leak tracers across jit calls)."""
+        key = (name, tuple(idxs))
+        m = self._mat_cache.get(key)
+        if m is None:
+            m = self._mat_cache[key] = np.stack(
+                [self._mats[name][i] for i in idxs])
+        return jnp.asarray(m)
+
+    def _run(self, x64, forward: bool, idx=None, interpret: bool = False):
+        L = x64.shape[-2]
+        lead = x64.shape[:-2]
+        x = x64.reshape((-1, L, self.n))
+        B = x.shape[0]
+        sel = list(range(len(self.tabs))) if idx is None else list(idx)
+        assert len(sel) == L
+        n1, n2 = self.n1, self.n2
+
+        shape_in = (n1, n2) if forward else (n2, n1)
+        shape_out = (n2, n1) if forward else (n1, n2)
+        xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(B, L, *shape_in)
+        xhi = (x >> jnp.uint64(32)).astype(jnp.uint32).reshape(B, L, *shape_in)
+
+        # group the selected limbs by digit count; one two-kernel pass per
+        # group at its true nd (see __init__ note)
+        groups: dict = {}
+        for k, i in enumerate(sel):
+            groups.setdefault(self._nd_of[i], []).append(k)
+
+        m_a = ("a1", "a2") if forward else ("a2i", "a1i")
+        t_src = self._t1 if forward else self._t1i
+        parts = []
+        order = []
+        for nd, ks in sorted(groups.items()):
+            idxs = [sel[k] for k in ks]
+            order.extend(ks)
+            ksel = np.asarray(ks, np.int32)
+            g_lo = jnp.take(xlo, ksel, axis=1)
+            g_hi = jnp.take(xhi, ksel, axis=1)
+            mats = [self._group_mats(nm, idxs) for nm in m_a]
+            tquad = [jnp.asarray(a[np.asarray(idxs)]) for a in t_src]
+            qlo_a, qhi_a = (jnp.asarray(a[np.asarray(idxs)]) for a in self._q)
+            q2lo_a, q2hi_a = (jnp.asarray(a[np.asarray(idxs)]) for a in self._q2)
+            qinv_a = jnp.asarray(self._qinv[np.asarray(idxs)])
+            lo, hi = self._stage_a(g_lo, g_hi, mats[0], tquad,
+                                   (qlo_a, qhi_a, qinv_a), shape_in[0], nd,
+                                   interpret)
+            olo, ohi = self._stage_b(lo, hi, mats[1],
+                                     (qlo_a, qhi_a, q2lo_a, q2hi_a, qinv_a),
+                                     shape_out[0], nd, interpret)
+            parts.append(olo.astype(jnp.uint64)
+                         | (ohi.astype(jnp.uint64) << jnp.uint64(32)))
+        out = jnp.concatenate(parts, axis=1)
+        inv = np.argsort(np.asarray(order))
+        out = jnp.take(out, jnp.asarray(inv, jnp.int32), axis=1)
         return out.reshape(lead + (L, self.n))
 
     def ntt(self, x64, idx=None, interpret: bool = False):

@@ -6,6 +6,7 @@ chain, dnum=2 hybrid KS, special primes) mirrors the reference set.
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from ppqsflhe_tpu.ckks.params import CkksParams
@@ -361,3 +362,48 @@ def test_ksk_mont_form(sch, keys):
     assert np.array_equal(np.asarray(d1a), np.asarray(d1b))
     # idempotent
     assert ev.ksk_to_mont(sch.ctx, rkm) is rkm
+
+
+def test_pallas_ks_inner_product_bitexact():
+    """Fused Pallas u32-pair keyswitch inner product (ops/pallas_ks.py)
+    == the XLA mont_mul path, bit-exact, incl. under vmap (interpret)."""
+    import jax
+
+    from ppqsflhe_tpu.ckks import eval as ev
+    from ppqsflhe_tpu.ckks.types import KeySwitchKey
+
+    n, B = 1 << 9, 2
+    sch = CkksScheme(CkksParams.generate(n=n, mult_depth=2, scale_bits=40,
+                                         dnum=2, ntt_backend="fourstep",
+                                         ntt_impl="xla"))
+    L = sch.params.num_q
+    rng = np.random.default_rng(5)
+    qs = np.array(sch.params.q_moduli, np.uint64)
+    c = rng.integers(0, 1 << 59, size=(B, L, n), dtype=np.uint64) \
+        % qs[None, :, None]
+    LK = len(sch.ctx.moduli_qp)
+    nd = len(sch.ctx.digit_groups)
+    rk = rng.integers(0, 1 << 59, size=(nd, 2, LK, n), dtype=np.uint64) \
+        % np.array(sch.ctx.moduli_qp, np.uint64)[None, None, :, None]
+    rkm = ev.ksk_to_mont(sch.ctx, KeySwitchKey(data=jnp.asarray(rk)))
+    cd = jnp.asarray(c)
+
+    def one(ci):
+        return jnp.stack(ev.keyswitch(sch.ctx, ci, rkm, L))
+
+    # reduced level: only the first digit group is active — the pallas
+    # path must slice the KSK rows to the active digits (lazy levels)
+    def one_l2(ci):
+        return jnp.stack(ev.keyswitch(sch.ctx, ci[: L - 1], rkm, L - 1))
+
+    want = np.asarray(jax.vmap(one)(cd))
+    want_l2 = np.asarray(jax.vmap(one_l2)(cd))
+    sch.ctx.use_pallas_ks = True
+    sch.ctx.pallas_ks_interpret = True
+    try:
+        got = np.asarray(jax.vmap(one)(cd))
+        got_l2 = np.asarray(jax.vmap(one_l2)(cd))
+    finally:
+        sch.ctx.use_pallas_ks = False
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_l2, want_l2)

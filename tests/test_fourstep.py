@@ -199,3 +199,32 @@ def test_pallas_mxu_kernel_bitexact_interpret():
     assert np.array_equal(iout, x)
     sub = np.asarray(pm.ntt(jnp.asarray(x[:, :2]), idx=(0, 1), interpret=True))
     assert np.array_equal(sub, ref[:, :2])
+
+
+def test_pallas_mxu_big_bitexact_interpret():
+    """The streamed two-kernel variant for N>2^15 (PallasMxuNttBig,
+    VERDICT r3 #1) is bit-exact vs the xla four-step path and satisfies
+    intt(ntt(x)) == x, including on limb subsets (interpret mode)."""
+    import jax.numpy as jnp
+
+    from ppqsflhe_tpu.core import primes
+    from ppqsflhe_tpu.ops.pallas_mxu_ntt import PallasMxuNttBig
+    from ppqsflhe_tpu.ops.pallas_ntt import FourStepNtt
+
+    n, L, B = 1 << 10, 3, 2
+    moduli = [primes.first_prime_down(59, 2 * n)] + primes.prime_chain(40, 2, 2 * n)
+    psis = [primes.root_of_unity(2 * n, q) for q in moduli]
+    fs = FourStepNtt(n, moduli, psis)
+    big = PallasMxuNttBig(n, moduli, psis, blk=16)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.stack([
+        np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
+        for _ in range(B)
+    ]))
+    want = fs.ntt(x, implementation="xla")
+    got = big.ntt(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    back = big.intt(got, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    got2 = big.ntt(x[:, :2], idx=(0, 1), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want[:, :2]))
