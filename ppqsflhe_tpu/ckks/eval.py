@@ -200,9 +200,19 @@ def keyswitch_core(ctx: CkksContext, c_eval, nlimbs: int):
     for g, (ghat_inv, ghat_inv_sh) in zip(groups, consts):
         sel = np.asarray(g, dtype=np.int32)
         qg = ctx.q_vec[sel]
-        d = shoup_mul(c_coeff[sel], ghat_inv, ghat_inv_sh, qg)
         other = tuple(i for i in idx_ext if i not in g)
-        ext = ctx.extender(g, other).extend(d)
+        if getattr(ctx, "use_pallas_ks", False):
+            # fused u32-pair kernel: digit decompose ([Q̂_j^{-1}]_{q_i}
+            # folded into the extension's first Shoup constant) + HPS
+            # extend in one VMEM pass (ops/pallas_ext.py)
+            from ..ops.pallas_ext import fused_extend
+
+            pre = tuple(int(v) for v in np.asarray(ghat_inv)[:, 0])
+            ext = fused_extend(c_coeff[sel], ctx.extender(g, other), pre=pre,
+                               interpret=ctx.pallas_ks_interpret)
+        else:
+            d = shoup_mul(c_coeff[sel], ghat_inv, ghat_inv_sh, qg)
+            ext = ctx.extender(g, other).extend(d)
         ext_eval = ctx.ntt(ext, other)
         # own-group rows never leave the eval domain: multiplying by the
         # constant [Q̂_j^{-1}]_{q_i} commutes with the NTT, so compute them
@@ -304,7 +314,13 @@ def _mod_down(ctx: CkksContext, c_ext, nlimbs: int):
     q, qinv, r2 = ctx.limb_consts(idx_q)
     pinv, pinv_sh = ctx.moddown_consts(l)
     part_p = ctx.intt(c_ext[..., l : l + k, :], idx_p)
-    ext = ctx.extender(idx_p, tuple(idx_q)).extend(part_p)
+    if getattr(ctx, "use_pallas_ks", False):
+        from ..ops.pallas_ext import fused_extend
+
+        ext = fused_extend(part_p, ctx.extender(idx_p, tuple(idx_q)),
+                           interpret=ctx.pallas_ks_interpret)
+    else:
+        ext = ctx.extender(idx_p, tuple(idx_q)).extend(part_p)
     ext_eval = ctx.ntt(ext, idx_q)
     diff = modsub(c_ext[..., :l, :], ext_eval, q)
     return shoup_mul(diff, pinv, pinv_sh, q)
