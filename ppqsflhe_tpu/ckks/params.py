@@ -211,10 +211,13 @@ class CkksContext:
         # Fused Pallas u32-pair keyswitch inner product (ops/pallas_ks.py):
         # enabled with the Pallas NTT config on real accelerators; tests on
         # CPU exercise it via interpret mode (pallas_ks_interpret).
+        import os as _os
+
         import jax as _jax
 
         self.use_pallas_ks = (params.ntt_impl == "pallas_mxu"
-                              and _jax.devices()[0].platform != "cpu")
+                              and _jax.devices()[0].platform != "cpu"
+                              and not _os.environ.get("PPQSFLHE_NO_PALLAS_KS"))
         self.pallas_ks_interpret = False
 
         qp = self.moduli_qp

@@ -54,16 +54,17 @@ class FourStepNtt:
 
     def pallas_mxu(self):
         """Lazily-built fused Pallas MXU-NTT runner (ops/pallas_mxu_ntt.py).
-        For N ≤ 2^15 both padded stage matrices fit VMEM and the fully
-        fused single kernel runs; above that the streamed two-kernel
-        variant (PallasMxuNttBig) holds one stage matrix per kernel and
-        streams (ct, column-block) grids past it. Raises ValueError for
+        For N ≤ 2^14 both stage matrices + working set fit the 16 MB
+        scoped VMEM and the fully fused single kernel runs; above that
+        (measured: N=2^15 with the nd=9 group needs 17.06 MB) the
+        streamed two-kernel variant (PallasMxuNttBig) holds one stage
+        matrix per kernel and streams (ct, column-block) grids past it. Raises ValueError for
         chains without the uniform redc/4 plan — callers fall back to
         implementation='mxu'."""
         if self._pmxu is None:
             from .pallas_mxu_ntt import PallasMxuNtt, PallasMxuNttBig
 
-            cls = PallasMxuNtt if self.n <= (1 << 15) else PallasMxuNttBig
+            cls = PallasMxuNtt if self.n <= (1 << 14) else PallasMxuNttBig
             self._pmxu = cls(self.n, self.moduli, self._psis)
         return self._pmxu
 
