@@ -121,14 +121,18 @@ def main():
         print(json.dumps({"metric": f"ntt_us_per_limb_N{n}", "results": results}))
 
     _bench_keyswitch(jax, jnp, np, dev)
+    # the reference's true 4-tower chain (60/40/40 + 20-bit FLEXIBLEAUTOEXT)
+    _bench_keyswitch(jax, jnp, np, dev, extra_mod_bits=20)
 
 
-def _bench_keyswitch(jax, jnp, np, dev):
+def _bench_keyswitch(jax, jnp, np, dev, extra_mod_bits: int = 0):
     """The key-switch kernel north-star (BASELINE.md:51): full HYBRID
     keyswitch (iNTT + decompose + HPS base-extend + NTT + KSK inner product
     + ModDown) on B=27 reference-shaped ciphertext components, measured
     on-chip via the same scan-marginal method, per ntt implementation.
-    Outputs are checked bit-equal across implementations."""
+    Outputs are checked bit-equal across implementations.
+    ``extra_mod_bits=20`` adds the FLEXIBLEAUTOEXT extra prime → the
+    reference's true 4-tower chain (SURVEY.md §2.3)."""
     import ppqsflhe_tpu  # noqa: F401
     from ppqsflhe_tpu.ckks import eval as ev
     from ppqsflhe_tpu.ckks.params import CkksParams
@@ -141,6 +145,7 @@ def _bench_keyswitch(jax, jnp, np, dev):
     for impl in ("xla", "mxu", "pallas_mxu"):
         sch = CkksScheme(CkksParams.generate(
             n=n, mult_depth=2, scale_bits=40, dnum=2,
+            extra_mod_bits=extra_mod_bits,
             ntt_backend="fourstep", ntt_impl=impl))
         L = sch.params.num_q
         rng = np.random.default_rng(0)
@@ -183,7 +188,7 @@ def _bench_keyswitch(jax, jnp, np, dev):
                 ref_out = out
             elif not np.array_equal(out, ref_out):
                 raise AssertionError("keyswitch output mismatch vs xla impl")
-            jf_lo, jf_hi = scan_fn(2), scan_fn(8)
+            jf_lo, jf_hi = scan_fn(2), scan_fn(10)
 
             def timed(jf):
                 np.asarray(jf(cd, rkd))
@@ -196,17 +201,17 @@ def _bench_keyswitch(jax, jnp, np, dev):
                 return best
 
             t_lo, t_hi = timed(jf_lo), timed(jf_hi)
-            per_ks_us = (t_hi - t_lo) / 6 / B * 1e6
+            per_ks_us = (t_hi - t_lo) / 8 / B * 1e6
             results[impl] = per_ks_us
-            print(f"[kbench] keyswitch N=2^14 l={L} B={B} mont-keys {impl:4s}: "
+            print(f"[kbench] keyswitch N=2^14 L={L} B={B} mont-keys {impl:4s}: "
                   f"{per_ks_us:8.1f} us/keyswitch on-chip "
                   f"({B*6/(t_hi-t_lo):7.0f} keyswitch/s)", file=sys.stderr)
         except Exception as e:
             print(f"[kbench] keyswitch {impl} FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
             results[impl] = None
-    print(json.dumps({"metric": "keyswitch_us_N16384_L3_montkeys",
-                  "results": results}))
+    print(json.dumps({"metric": f"keyswitch_us_N16384_L{len(sch.params.q_moduli)}_montkeys",
+                      "results": results}))
 
 
 if __name__ == "__main__":

@@ -314,6 +314,29 @@ def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -
 # Server-side: PRE + aggregation
 # ---------------------------------------------------------------------------
 
+# Device-resident rekey cache: a production server applies the SAME
+# long-lived re-encryption key every round, but the file-contract API is
+# called per round with a path. Cache the deserialized + Montgomery-form
+# KSK on device, keyed by (path, mtime, size) — repeated rounds then skip
+# both the host parse and the H2D upload + conversion pass.
+_REKEY_CACHE: Dict[tuple, object] = {}
+
+
+def _load_rekey_mont(sch: CkksScheme, rekey_path: str):
+    from ..ckks import eval as ev
+
+    st = os.stat(rekey_path)
+    key = (os.path.abspath(rekey_path), st.st_mtime_ns, st.st_size, id(sch))
+    rk = _REKEY_CACHE.get(key)
+    if rk is None:
+        if len(_REKEY_CACHE) > 16:          # bound device memory
+            _REKEY_CACHE.clear()
+        rk = ev.ksk_to_mont(sch.ctx,
+                            ser.deserialize_ksk(ser.load_json(rekey_path)))
+        _REKEY_CACHE[key] = rk
+    return rk
+
+
 def _ct_to_wire(ct: Ciphertext, sch: CkksScheme, wire: str,
                 a_seed: bytes | None = None) -> str:
     """'native' → PQTC blobs (v3 seeded when ``a_seed`` is given);
@@ -370,7 +393,7 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
 
     # one Montgomery-form conversion of the (long-lived) rekey halves the
     # inner-product multiplies of every key switch below (ev.ksk_to_mont)
-    rekey = ev.ksk_to_mont(sch.ctx, ser.deserialize_ksk(ser.load_json(rekey_path)))
+    rekey = _load_rekey_mont(sch, rekey_path)
     indcca = sch.params.pre_mode == "INDCCA"
     if indcca and pub_path is None:
         raise ValueError("PREMode INDCCA: changeCipherDomain needs the target "
