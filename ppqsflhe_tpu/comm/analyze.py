@@ -13,7 +13,6 @@ import os
 from dataclasses import dataclass, field
 from typing import Dict, List
 
-import numpy as np
 import pandas as pd
 
 MATCH_WINDOW_S = 60          # reference: 60 s pairing window (:139)

@@ -16,7 +16,6 @@ deployments that need it.
 
 from __future__ import annotations
 
-import io
 import os
 import re
 import threading

@@ -28,7 +28,7 @@ import jax
 import numpy as np
 
 from . import primes
-from .modarith import U64, modadd, modsub, shoup_mul
+from .modarith import modadd, modsub, shoup_mul
 
 
 def bit_reverse_indices(n: int) -> np.ndarray:

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import primes
-from .modarith import U64, modmul, modadd, modsub
+from .modarith import U64, modadd, modsub
 
 
 # ---------------------------------------------------------------------------
