@@ -116,3 +116,31 @@ def _plot_rounds(mdf: pd.DataFrame, client_id: str, path: str) -> None:
     ax.set_title(f"Metrics per round - {client_id}")
     fig.savefig(path, dpi=100, bbox_inches="tight")
     plt.close(fig)
+
+
+def main(argv=None) -> int:
+    """CLI twin of the reference's per-client evaluation script
+    (c_evalulate_rounds.py is run directly from the client dir):
+
+        python -m ppqsflhe_tpu.train.evaluate <client_config.json> [out_dir]
+
+    The config is the CLIENT section (c_config.json schema) or any dict
+    with data_file/log_dir/train_end_date/test_start_date."""
+    import json
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(main.__doc__)
+        return 2
+    with open(argv[0]) as f:
+        cfg = json.load(f)
+    cfg = cfg.get("CLIENT", cfg)
+    evaluate_rounds(cfg, out_dir=argv[1] if len(argv) > 1 else None)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
