@@ -101,7 +101,12 @@ def gen_cc(config: Dict | str, cc_out: str) -> CkksParams:
     if pre_mode not in ("INDCPA", "INDCCA"):
         raise ValueError(f"unsupported PREMode {pre_mode} (INDCPA or INDCCA)")
     if pick("use_reference_chain", default=False):
-        params = CkksParams.reference(slots=batch or 8192)
+        import dataclasses
+
+        params = dataclasses.replace(
+            CkksParams.reference(slots=batch or 8192),
+            ntt_backend=pick("ntt_backend", default="radix2"),
+            ntt_impl=pick("ntt_impl", default="xla"))
     else:
         params = CkksParams.generate(
             n=n, mult_depth=depth, scale_bits=scale_bits,
@@ -215,6 +220,20 @@ def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
     return out
 
 
+def _jit_ntt(sch: CkksScheme, nlimbs: int):
+    """Jitted batched forward transform (cached per level on the scheme's
+    context): eager ctx.ntt dispatches op-by-op — fine on CPU, ~seconds
+    per call through the remote-TPU tunnel."""
+    cache = getattr(sch.ctx, "_api_ntt_jit", None)
+    if cache is None:
+        cache = sch.ctx._api_ntt_jit = {}
+    f = cache.get(nlimbs)
+    if f is None:
+        idx = sch.ctx.q_idx(nlimbs)
+        f = cache[nlimbs] = jax.jit(lambda c: sch.ctx.ntt(c, idx))
+    return f
+
+
 def _encrypt_batch(sch: CkksScheme, pk, vecs: Sequence[np.ndarray], rng) -> List[Ciphertext]:
     """Encode on host, then one batched encrypt on device."""
     from ..ckks import rlwe
@@ -225,7 +244,7 @@ def _encrypt_batch(sch: CkksScheme, pk, vecs: Sequence[np.ndarray], rng) -> List
     scale = sch.params.scale
     rns = sch.encoder.to_rns_batch(
         sch.encoder.encode_batch(vecs, scale), moduli)  # (B, l, n)
-    pts_eval = sch.ctx.ntt(jnp.asarray(rns), idx)
+    pts_eval = _jit_ntt(sch, l)(jnp.asarray(rns))
 
     def enc_one(pt_data, key):
         from ..ckks.types import Plaintext
@@ -250,7 +269,7 @@ def _encrypt_batch_sk(sch: CkksScheme, sk, vecs: Sequence[np.ndarray], rng,
     scale = sch.params.scale
     rns = sch.encoder.to_rns_batch(
         sch.encoder.encode_batch(vecs, scale), moduli)  # (B, l, n)
-    pts_eval = sch.ctx.ntt(jnp.asarray(rns), idx)
+    pts_eval = _jit_ntt(sch, l)(jnp.asarray(rns))
     a_stack = jnp.stack([rlwe.expand_a(sch.ctx, sd, l) for sd in seeds])
 
     def enc_one(pt_data, a, key):
