@@ -303,6 +303,26 @@ def ciphertext_to_b64_openfhe(ct: Ciphertext, ctx: CkksContext,
     return base64.b64encode(buf).decode()
 
 
+def ciphertext_seeded_parts(b: bytes):
+    """For a v3 (seeded) blob: (c0 residues u64[l, n], seed, scale) without
+    expanding c1 — lets callers batch many expansions into one device call
+    (fl.api._load_all_cts). Returns None for any other format."""
+    if b[:4] != MAGIC:
+        return None
+    ver, k, l, n, scale = struct.unpack("<IIIId", b[4:28])
+    if ver != 3:
+        return None
+    widths = b[28 : 28 + l]
+    seed = b[28 + l : 28 + l + 16]
+    c0 = np.zeros((l, n), np.uint64)
+    off = 28 + l + 16
+    for i in range(l):
+        w = widths[i]
+        c0[i] = _unpack_limb(b[off:], w, n)
+        off += n * w
+    return c0, seed, scale
+
+
 def ciphertext_from_b64_any(s: str, ctx: CkksContext | None = None) -> Ciphertext:
     """Parse either wire format: this package's PQTC blobs or OpenFHE
     cereal-BINARY (auto-detected by the leading bytes)."""

@@ -368,17 +368,45 @@ def _ct_to_wire(ct: Ciphertext, sch: CkksScheme, wire: str,
 
 def _load_all_cts(enc: Dict, sch: CkksScheme | None = None) -> tuple[list, list[Ciphertext]]:
     """Flatten an encrypted-weights document into (slots, ciphertexts).
-    All wire formats are accepted (auto-detected per field; seeded v3
-    blobs re-expand c1 through ``sch``'s context)."""
+    All wire formats are accepted (auto-detected per field). Seeded v3
+    blobs are expanded in BATCHES — one jitted transform call per level
+    group instead of one per ciphertext (27 dispatches → 1; the per-ct
+    path cost ~100 ms each through the remote-TPU tunnel)."""
+    import base64 as _b64
+
     ctx = sch.ctx if sch is not None else None
     slots, cts = [], []
+    seeded = []                     # (out_index, c0, seed, scale, l)
     for entry in enc["weights_summary"]:
-        for field in ("mean", "std_dev"):
-            slots.append((entry, field, None))
-            cts.append(ser.ciphertext_from_b64_any(entry[field], ctx))
-        for i, s in enumerate(entry["values"]):
-            slots.append((entry, "values", i))
-            cts.append(ser.ciphertext_from_b64_any(s, ctx))
+        fields = [(f, entry[f]) for f in ("mean", "std_dev")]
+        fields += [("values", s) for s in entry["values"]]
+        vi = 0
+        for field, payload in fields:
+            slots.append((entry, field, vi if field == "values" else None))
+            if field == "values":
+                vi += 1
+            raw = _b64.b64decode(payload)
+            parts = ser.ciphertext_seeded_parts(raw)
+            if parts is not None and ctx is not None:
+                c0, seed, scale = parts
+                seeded.append((len(cts), c0, seed, scale, c0.shape[0]))
+                cts.append(None)
+            elif raw[:4] == ser.MAGIC:
+                cts.append(ser.ciphertext_from_bytes(raw, ctx))
+            else:                     # OpenFHE cereal-BINARY wire
+                cts.append(ser.ciphertext_from_b64_any(payload, ctx))
+    if seeded:
+        from ..ckks import rlwe
+
+        by_l: Dict[int, list] = {}
+        for rec in seeded:
+            by_l.setdefault(rec[4], []).append(rec)
+        for l, recs in by_l.items():
+            a_all = np.asarray(jax.device_get(
+                rlwe.expand_a_batch(ctx, [r[2] for r in recs], l)))
+            for (pos, c0, _, scale, _), a in zip(recs, a_all):
+                cts[pos] = Ciphertext(
+                    data=jnp.asarray(np.stack([c0, a])), scale=scale)
     return slots, cts
 
 

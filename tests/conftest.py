@@ -56,6 +56,9 @@ _SLOW_TESTS = {
     "test_two_round_fl_run",
     "test_graft_entry_contract",
     "test_keygen_unseeded_end_to_end",
+    # interpret-mode Pallas kernel bit-exactness (r4)
+    "test_pallas_ks_inner_product_bitexact",
+    "test_pallas_mxu_big_bitexact_interpret",
 }
 
 
