@@ -302,28 +302,59 @@ def _encrypt_sk_with_a(ctx, sk, pt, rng_key, a):
 
 def decrypt_weights(cc_path: str, priv_path: str, enc_in: str, plain_out: str) -> Dict:
     """Inverse of encrypt_weights with pad-trim to prod(shape)
-    (decryptModelWeights.cpp:97-118)."""
+    (decryptModelWeights.cpp:97-118). All ciphertexts of a level decrypt
+    as ONE batched device call (a per-ct loop pays one dispatch + one d2h
+    each — ~100 ms/ct through the remote-TPU tunnel)."""
+    from ..ckks.rlwe import decode_coeffs, decrypt_to_coeffs
+
     sch = load_scheme(cc_path)
     sk = ser.deserialize_secret_key(ser.load_json(priv_path), sch.ctx)
     with open(enc_in) as f:
         enc = json.load(f)
 
+    slots, cts = _load_all_cts(enc, sch)
+    # batch decrypt-to-coeffs per (nlimbs, k) group, one jitted vmap each
+    coeffs = [None] * len(cts)
+    groups: Dict[tuple, List[int]] = {}
+    for i, ct in enumerate(cts):
+        groups.setdefault((ct.nlimbs, ct.num_components, float(ct.scale)),
+                          []).append(i)
+    for (l, k, _), idxs in groups.items():
+        stack = jnp.stack([cts[i].data for i in idxs])
+        # NOTE: the secret key is an ARGUMENT, not a closure capture — the
+        # jitted fn is cached per (level, k) on the scheme and must serve
+        # every client's key
+        fn = sch._jit(("decrypt_batch", l, k), lambda: jax.vmap(
+            lambda c, s: decrypt_to_coeffs(sch.ctx, s,
+                                           Ciphertext(c, scale=1.0)),
+            in_axes=(0, None)))
+        batch = np.asarray(jax.device_get(fn(stack, sk.s_eval)))
+        for i, co in zip(idxs, batch):
+            coeffs[i] = co
+    vals = {
+        i: decode_coeffs(sch.ctx, coeffs[i], cts[i], sch.encoder)
+        for i in range(len(cts))
+    }
+
     out = {"weights_summary": []}
-    for entry in enc["weights_summary"]:
-        mean = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["mean"], sch.ctx), num=1)[0])
-        std = float(sch.decrypt(sk, ser.ciphertext_from_b64_any(entry["std_dev"], sch.ctx), num=1)[0])
-        size = int(np.prod(entry["shape"]))
-        vals = []
-        for s in entry["values"]:
-            vals.append(sch.decrypt(sk, ser.ciphertext_from_b64_any(s, sch.ctx)))
-        flat = np.concatenate(vals)[:size]
-        out["weights_summary"].append({
-            "layer": entry["layer"],
-            "shape": entry["shape"],
-            "mean": mean,
-            "std_dev": std,
-            "values": [float(x) for x in flat],
-        })
+    by_entry: Dict[int, Dict] = {}
+    for i, (entry, field, vi) in enumerate(slots):
+        rec = by_entry.get(id(entry))
+        if rec is None:
+            rec = by_entry[id(entry)] = {
+                "layer": entry["layer"], "shape": entry["shape"],
+                "mean": 0.0, "std_dev": 0.0, "_vals": {}}
+            out["weights_summary"].append(rec)
+        if field == "values":
+            rec["_vals"][vi] = vals[i]
+        else:
+            rec[field if field == "mean" else "std_dev"] = float(vals[i][0])
+    for rec in out["weights_summary"]:
+        size = int(np.prod(rec["shape"]))
+        flat = np.concatenate([rec["_vals"][j]
+                               for j in sorted(rec["_vals"])])[:size]
+        rec["values"] = [float(x) for x in flat]
+        del rec["_vals"]
     with open(plain_out, "w") as f:
         json.dump(out, f)
     return out
