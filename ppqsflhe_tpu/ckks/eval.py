@@ -355,14 +355,31 @@ def _ks_target_factors(ctx: CkksContext):
     return out
 
 
+def _ksk_digit_seed(a_seed: bytes, j: int) -> bytes:
+    import hashlib
+
+    return hashlib.blake2b(a_seed + j.to_bytes(2, "little"),
+                           digest_size=16).digest()
+
+
 def keyswitch_key_gen(
     ctx: CkksContext,
     target_eval_q,            # u64[L, n] eval-domain poly to be "keyed" (s², σ_g(s), s_A…)
     rng_key,
     sk_to: SecretKey | None = None,
     pk_to: PublicKey | None = None,
+    a_seed: bytes | None = None,
 ) -> KeySwitchKey:
+    """With ``a_seed`` (16 bytes, sk_to path only) each digit's uniform
+    a_j expands from a per-digit PRF seed — serialize_ksk then ships only
+    the b rows + the seed (~2x smaller self-generated rotation/relin/conj
+    keys). PRE keys (pk_to) cannot be seeded: their rows are encryptions
+    under the delegatee's public key, not uniform samples."""
     import jax
+
+    if a_seed is not None and pk_to is not None:
+        raise ValueError("a_seed applies to secret-key KSKs only (the pk "
+                         "path's rows are not uniform)")
 
     n = ctx.params.n
     L = ctx.params.num_q
@@ -388,7 +405,13 @@ def keyswitch_key_gen(
             a = modadd(_poly_mul(ctx, pk_to.data[1], u, all_idx), e1, q_all)
         else:
             k_a, k_e = jax.random.split(keys[j])
-            a = ctx.ntt(sampling.uniform_rns(k_a, ctx.moduli_qp, n), all_idx)
+            if a_seed is not None:
+                from .rlwe import expand_a
+
+                a = expand_a(ctx, _ksk_digit_seed(a_seed, j),
+                             len(ctx.moduli_qp))
+            else:
+                a = ctx.ntt(sampling.uniform_rns(k_a, ctx.moduli_qp, n), all_idx)
             e = _signed_to_eval(ctx, sampling.discrete_gaussian(k_e, n, ctx.params.sigma), all_idx)
             b = modadd(
                 modadd(modneg(_poly_mul(ctx, a, sk_to.s_eval, all_idx), q_all), e, q_all),

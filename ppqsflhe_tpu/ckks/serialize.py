@@ -145,7 +145,18 @@ def deserialize_public_key(d: Dict[str, Any],
     return PublicKey(data=jnp.asarray(_b64_to_arr(d["data"], d["shape"]), U64))
 
 
-def serialize_ksk(k: KeySwitchKey) -> Dict[str, Any]:
+def serialize_ksk(k: KeySwitchKey,
+                  a_seed: bytes | None = None) -> Dict[str, Any]:
+    """With ``a_seed`` (the seed passed to eval.keyswitch_key_gen) only
+    the b rows travel; the per-digit a rows re-expand on load (~2x
+    smaller self-generated rotation/relin/conjugation keys)."""
+    if a_seed is not None:
+        return {
+            "type": "ckks_keyswitch_key",
+            "shape": list(k.data.shape),
+            "b": _arr_to_b64(k.data[:, 0]),
+            "a_seed": a_seed.hex(),
+        }
     return {
         "type": "ckks_keyswitch_key",
         "shape": list(k.data.shape),
@@ -153,7 +164,25 @@ def serialize_ksk(k: KeySwitchKey) -> Dict[str, Any]:
     }
 
 
-def deserialize_ksk(d: Dict[str, Any]) -> KeySwitchKey:
+def deserialize_ksk(d: Dict[str, Any],
+                    ctx: CkksContext | None = None) -> KeySwitchKey:
+    if "a_seed" in d:
+        if ctx is None:
+            raise ValueError("seeded keyswitch key needs a context to "
+                             "re-expand its a rows — pass ctx")
+        from .eval import _ksk_digit_seed
+        from .rlwe import expand_a
+
+        nd, _, LK, n = d["shape"]
+        seed = bytes.fromhex(d["a_seed"])
+        b = _b64_to_arr(d["b"], (nd, LK, n))
+        a = np.stack([
+            np.asarray(jax.device_get(expand_a(ctx, _ksk_digit_seed(seed, j),
+                                               LK)))
+            for j in range(nd)
+        ])
+        return KeySwitchKey(
+            data=jnp.asarray(np.stack([b, a], axis=1), U64))
     return KeySwitchKey(data=jnp.asarray(_b64_to_arr(d["data"], d["shape"]), U64))
 
 

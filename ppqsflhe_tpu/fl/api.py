@@ -382,7 +382,7 @@ def _load_rekey_mont(sch: CkksScheme, rekey_path: str):
         if len(_REKEY_CACHE) > 16:          # bound device memory
             _REKEY_CACHE.clear()
         rk = ev.ksk_to_mont(sch.ctx,
-                            ser.deserialize_ksk(ser.load_json(rekey_path)))
+                            ser.deserialize_ksk(ser.load_json(rekey_path), sch.ctx))
         _REKEY_CACHE[key] = rk
     return rk
 

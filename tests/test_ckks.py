@@ -407,3 +407,41 @@ def test_pallas_ks_inner_product_bitexact():
         sch.ctx.use_pallas_ks = False
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got_l2, want_l2)
+
+
+def test_seeded_rotation_key_serialization():
+    """Self-generated KSKs (rotation/relin/conj) serialize seeded: b rows +
+    a 16-byte seed, ~2x smaller; the reloaded key rotates correctly and
+    byte-stably re-serializes. PRE keys reject seeding (pk-based rows)."""
+    import json as _json
+
+    import jax
+
+    from ppqsflhe_tpu.ckks import eval as ev
+    from ppqsflhe_tpu.ckks import serialize as ser
+
+    sch = CkksScheme(CkksParams.generate(n=128, mult_depth=2, scale_bits=40,
+                                         dnum=2))
+    sk, pk = sch.keygen(jax.random.PRNGKey(1))
+    L = sch.params.num_q
+    g = ev.rot_to_galois(1, sch.params.n)
+    seed = bytes(range(16))
+    s_rot = ev.automorphism(sch.ctx, sk.s_eval[:L], g)
+    rk = ev.keyswitch_key_gen(sch.ctx, s_rot, jax.random.PRNGKey(2),
+                              sk_to=sk, a_seed=seed)
+
+    doc = ser.serialize_ksk(rk, a_seed=seed)
+    dense = len(_json.dumps(ser.serialize_ksk(rk)))
+    seeded = len(_json.dumps(doc))
+    assert dense / seeded > 1.8, (dense, seeded)
+    back = ser.deserialize_ksk(doc, sch.ctx)
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(rk.data))
+
+    v = np.linspace(-1, 1, sch.encoder.slots)
+    ct = sch.encrypt_values(pk, v, jax.random.PRNGKey(3))
+    got = sch.decrypt(sk, ev.rotate(sch.ctx, ct, 1, back))
+    np.testing.assert_allclose(np.asarray(got), np.roll(v, -1), atol=1e-4)
+
+    with pytest.raises(ValueError):
+        ev.keyswitch_key_gen(sch.ctx, s_rot, jax.random.PRNGKey(4),
+                             pk_to=pk, a_seed=seed)
