@@ -70,9 +70,14 @@ class CkksParams:
     # with a fresh encryption of zero under the TARGET public key plus
     # uniform flooding noise (pre_flood_bits), so a re-encrypted ciphertext
     # is statistically unlinkable to its input even given honest
-    # re-encryption oracle access.
+    # re-encryption oracle access. Default 30 matches the reference
+    # context's ss=30 parameter (SURVEY.md §2.3; like threshold smudging,
+    # the ACHIEVED statistical distance is 2^-(30 − keyswitch-noise bits) —
+    # see ckks/threshold.py and docs/SECURITY.md). Precision cost at
+    # Δ=2^40: ≈ √(N/2)·2^-10 absolute per slot (~0.01-0.1 on the
+    # reference payload).
     pre_mode: str = "INDCPA"
-    pre_flood_bits: int = 20
+    pre_flood_bits: int = 30
 
     @staticmethod
     def generate(

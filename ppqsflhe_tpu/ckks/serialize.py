@@ -66,7 +66,7 @@ def params_from_dict(d: Dict[str, Any]) -> CkksParams:
         ntt_impl=d.get("ntt_impl", "xla"),
         flexible_ext=d.get("flexible_ext", False),
         pre_mode=d.get("pre_mode", "INDCPA"),
-        pre_flood_bits=d.get("pre_flood_bits", 20),
+        pre_flood_bits=d.get("pre_flood_bits", 30),
     )
 
 

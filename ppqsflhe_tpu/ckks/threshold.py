@@ -45,14 +45,49 @@ from .params import CkksContext
 from .rlwe import _poly_mul, _signed_to_eval
 from .types import Ciphertext, PublicKey, SecretKey
 
-# Statistical-security smudging: the reference context pins ss=30 statistical
-# security bits (SURVEY.md §2.3), and that is the DEFAULT here — flooding with
-# uniform noise 2^{ss} times larger than the worst-case decryption noise hides
-# each share's contribution. With Δ=2^40 and fresh-ct noise ≈ 2^{10}, the
-# 2^{30+10} flood erodes the top of the scale; callers who need more plaintext
-# precision may lower ``smudging_bits`` explicitly (documented tradeoff in
-# docs/SECURITY.md), but the default meets the reference's own ss setting.
+# Statistical-security smudging. ``smudging_bits`` is an ABSOLUTE flood
+# magnitude: partial decryptions carry uniform noise in ±2^bits. By the
+# smudging lemma (Asharov et al., EUROCRYPT'12), flooding a quantity whose
+# noise is bounded by B with uniform ±F noise gives statistical distance
+# ≤ B/F — so the achieved statistical security is
+# (smudging_bits − decryption_noise_bits), NOT smudging_bits itself.
+#
+# The reference context pins ss=30 (SURVEY.md §2.3). At its parameters
+# (N=2^14, σ=3.19) the decryption noise of a fresh/aggregated ciphertext is
+# bounded by ≈2^13 (decryption_noise_bits), so the default 2^30 flood yields
+# ≈17 bits of statistical distance. Achieving the FULL ss=30 requires
+# flood ≈ 2^(30+13) = 2^43 > Δ=2^40, which erases the payload at the
+# reference modulus chain — the same reason OpenFHE's NOISE_FLOODING_MULTIPARTY
+# mode adds extra towers to Q before flooding. Callers with a larger Δ (or an
+# extra tower) can pass ``smudging_bits=flood_bits_for_ss(ctx, ss)`` to get a
+# derived flood that honestly meets a target ss; the precision cost is
+# ≈ √(N/2)·2^(bits)/Δ absolute per slot (docs/SECURITY.md).
 DEFAULT_SMUDGING_BITS = 30
+
+
+def decryption_noise_bits(ctx: CkksContext) -> int:
+    """Conservative high-probability bound (bits) on the decryption noise
+    |c0 + c1·s − Δm| of a fresh pk-encryption at these parameters: three
+    terms (u·e_pk, e0, s·e1), each a sum of N ternary×Gaussian products of
+    std σ√(2N/3), bounded at 6 standard deviations. FedAvg aggregation
+    (Σct)·(1/N) keeps the noise at this order, so the bound also covers the
+    aggregate the FL pipeline threshold-decrypts."""
+    import math
+
+    n = ctx.params.n
+    sigma = ctx.params.sigma
+    per_term = 6.0 * sigma * math.sqrt(2.0 * n / 3.0)
+    return max(1, math.ceil(math.log2(3.0 * per_term)))
+
+
+def flood_bits_for_ss(ctx: CkksContext, ss: int,
+                      noise_bits: int | None = None) -> int:
+    """Flood magnitude (bits) that achieves ``ss`` bits of statistical
+    distance for partial decryptions: decryption-noise bound + ss (smudging
+    lemma: distance ≤ B/F = 2^noise_bits / 2^(noise_bits+ss) = 2^-ss)."""
+    if noise_bits is None:
+        noise_bits = decryption_noise_bits(ctx)
+    return noise_bits + ss
 
 
 def smudging_noise(key, n: int, bits: int) -> jnp.ndarray:

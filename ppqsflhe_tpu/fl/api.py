@@ -172,8 +172,13 @@ def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
     unchanged)."""
     sch = load_scheme(cc_path)
     keydoc = ser.load_json(pub_path)
-    seeded = keydoc.get("type") == "ckks_secret_key" and wire != "openfhe"
-    if seeded:
+    sk_mode = keydoc.get("type") == "ckks_secret_key"
+    # The seeded compact ct (c0 + 16-byte seed) is native-wire only; with
+    # wire='openfhe' a secret key still works — sk-encrypt, emit both
+    # components dense on the reference's cereal wire (ADVICE r4: this used
+    # to die in deserialize_public_key with an opaque KeyError).
+    seeded = sk_mode and wire != "openfhe"
+    if sk_mode:
         sk_enc = ser.deserialize_secret_key(keydoc, sch.ctx)
     else:
         pk = ser.deserialize_public_key(keydoc, sch.ctx)
@@ -195,10 +200,12 @@ def encrypt_weights(cc_path: str, pub_path: str, weights_in: str, enc_out: str,
             plain_vecs.append(chunk)  # zero-padding happens in encode
         layout.append((entry, nchunks))
 
-    if seeded:
+    if sk_mode:
         seeds = [_derived_seed(seed if seed is None else seed + 7919 * j,
                                f"ct_a:{j}") for j in range(len(plain_vecs))]
         cts = _encrypt_batch_sk(sch, sk_enc, plain_vecs, _rng(seed), seeds)
+        if not seeded:                      # openfhe wire: ship dense c0,c1
+            seeds = [None] * len(plain_vecs)
     else:
         seeds = [None] * len(plain_vecs)
         cts = _encrypt_batch(sch, pk, plain_vecs, _rng(seed))
@@ -376,7 +383,11 @@ def _load_rekey_mont(sch: CkksScheme, rekey_path: str):
     from ..ckks import eval as ev
 
     st = os.stat(rekey_path)
-    key = (os.path.abspath(rekey_path), st.st_mtime_ns, st.st_size, id(sch))
+    # Keyed on the scheme's (hashable) params, not id(sch): after
+    # _scheme_for's lru_cache evicts a scheme, CPython can recycle its id —
+    # a stale id key could then serve a Montgomery-form KSK built under a
+    # different context (ADVICE r4). Identical params ⇒ identical context.
+    key = (os.path.abspath(rekey_path), st.st_mtime_ns, st.st_size, sch.params)
     rk = _REKEY_CACHE.get(key)
     if rk is None:
         if len(_REKEY_CACHE) > 16:          # bound device memory

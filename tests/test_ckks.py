@@ -169,9 +169,10 @@ def test_proxy_reencryption_indcca(sch):
     ct_a = sch_cca.encrypt_values(pk_a, v, jax.random.PRNGKey(63))
     ct_b1 = sch_cca.re_encrypt(ct_a, rekey, pk_to=pk_b, rng_key=jax.random.PRNGKey(64))
     ct_b2 = sch_cca.re_encrypt(ct_a, rekey, pk_to=pk_b, rng_key=jax.random.PRNGKey(65))
-    # correctness under flooding (2^20 ≪ Δ=2^40: ~1e-6 relative error budget)
-    np.testing.assert_allclose(sch_cca.decrypt(sk_b, ct_b1), v, atol=1e-3)
-    np.testing.assert_allclose(sch_cca.decrypt(sk_b, ct_b2), v, atol=1e-3)
+    # correctness under flooding: default pre_flood_bits=30 (reference ss=30
+    # parity) at Δ=2^40, N=256 → ≈ √(N/2)·2^-10 ≈ 0.01 slot error per hop
+    np.testing.assert_allclose(sch_cca.decrypt(sk_b, ct_b1), v, atol=0.1)
+    np.testing.assert_allclose(sch_cca.decrypt(sk_b, ct_b2), v, atol=0.1)
     # unlinkability: identical input, different fresh randomness → different cts
     assert not np.array_equal(np.asarray(ct_b1.data), np.asarray(ct_b2.data))
     with pytest.raises(ValueError, match="INDCCA"):

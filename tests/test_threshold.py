@@ -193,7 +193,19 @@ def test_t_of_n_after_homomorphic_fedavg(sch, joint):
     np.testing.assert_allclose(np.asarray(got), (v1 + v2) / 2, atol=0.2)
 
 
-def test_smudging_default_meets_reference_ss():
-    """The default flooding level must meet the reference context's own
-    ss=30 statistical-security setting (SURVEY.md §2.3; VERDICT r3 #5)."""
+def test_smudging_semantics_and_derivation(sch):
+    """The default flood is an ABSOLUTE ±2^30 (the reference's ss=30
+    PARAMETER, SURVEY.md §2.3); the ACHIEVED statistical distance is
+    2^-(30 − noise_bits) by the smudging lemma (ADVICE r4). The derived
+    flood_bits_for_ss bound gives a flood that honestly meets a target ss:
+    noise_bits + ss."""
     assert th.DEFAULT_SMUDGING_BITS == 30
+    nb = th.decryption_noise_bits(sch.ctx)
+    # N=256, σ=3.19: 3·6σ√(2N/3) ≈ 750 → 10 bits; sanity-band the bound
+    assert 8 <= nb <= 14
+    assert th.flood_bits_for_ss(sch.ctx, 30) == nb + 30
+    # at the reference shape (N=2^14) the honest ss=30 flood exceeds Δ=2^40:
+    # the documented parameter-set limitation (ckks/threshold.py header)
+    import math
+    ref_nb = max(1, math.ceil(math.log2(3 * 6 * 3.19 * math.sqrt(2 * (1 << 14) / 3))))
+    assert th.flood_bits_for_ss(sch.ctx, 30, noise_bits=ref_nb) > 40
