@@ -18,15 +18,30 @@ FEATURE_NAMES = ["DayOfYear", "Month", "DayOfWeek", "WeekOfYear", "AcademicMonth
 TARGET = "Data"
 
 
-def load_timeseries(csv_path: str) -> pd.DataFrame:
+def load_timeseries(csv_path: str, dayfirst: bool = True) -> pd.DataFrame:
+    """``dayfirst=True`` (default) parses the reference datasets' DD-MM-YYYY
+    timestamps correctly. ``dayfirst=False`` replicates the reference
+    scripts' own month-first pandas default (c_trainAndUpdate.py:96,
+    c_evalulate_rounds.py:75): on its day-first CSVs that reading turns
+    days 1-12 of July into the 7th of Jan..Dec and coerces days 13+ to NaT
+    (dropped by the date-split comparisons) — the committed reference
+    metrics were computed on THAT 168-train-row/120-test-row view, so
+    bug-compatible parsing is required for apples-to-apples parity
+    (docs/PARITY.md, VERDICT r4 missing #3)."""
     df = pd.read_csv(csv_path)
     if "Timestamp" not in df.columns:
         raise ValueError(f"expected 'Timestamp' column, got {list(df.columns)}")
-    df["Timestamp"] = pd.to_datetime(df["Timestamp"], errors="coerce", dayfirst=True)
+    df["Timestamp"] = pd.to_datetime(df["Timestamp"], errors="coerce",
+                                     dayfirst=dayfirst)
     df["DayOfYear"] = df["Timestamp"].dt.dayofyear
     df["Month"] = df["Timestamp"].dt.month
     df["DayOfWeek"] = df["Timestamp"].dt.dayofweek
-    df["WeekOfYear"] = df["Timestamp"].dt.isocalendar().week.astype(np.int64)
+    wk = df["Timestamp"].dt.isocalendar().week
+    # NaT timestamps (possible under bug-compatible month-first parsing)
+    # leave NA weeks; those rows are excluded by the date-split comparisons,
+    # so carry them as NaN instead of failing the int cast
+    df["WeekOfYear"] = (wk.astype("float64") if wk.isna().any()
+                        else wk.astype(np.int64))
     df["AcademicMonth"] = df["Month"].apply(lambda x: 1 if x in [1, 2, 3, 4, 5, 8, 9, 10, 11] else 0)
     df["HourOfDay"] = df["Timestamp"].dt.hour
     return df

@@ -27,7 +27,8 @@ def evaluate_rounds(cfg: Dict, out_dir: str | None = None, verbose: bool = True)
     os.makedirs(out_dir, exist_ok=True)
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")
 
-    df = D.load_timeseries(cfg["data_file"])
+    df = D.load_timeseries(cfg["data_file"],
+                           dayfirst=bool(cfg.get("timestamp_dayfirst", True)))
     train_df, test_df = D.train_test_frames(df, cfg["train_end_date"], cfg["test_start_date"])
     fs = D.Scaler().fit(train_df[D.FEATURE_NAMES].values)
     tscl = D.Scaler().fit(train_df[[D.TARGET]].values)

@@ -78,7 +78,8 @@ def train_client(cfg: Dict, seed: int = 0, verbose: bool = True) -> TrainResult:
         if verbose and n_new:
             print(f"[{client_id}] ingested {n_new} new telemetry records")
 
-    df = D.load_timeseries(cfg["data_file"])
+    df = D.load_timeseries(cfg["data_file"],
+                           dayfirst=bool(cfg.get("timestamp_dayfirst", True)))
     train_df, _ = D.train_test_frames(df, cfg["train_end_date"], cfg["test_start_date"])
     fs, tscl = D.Scaler().fit(train_df[D.FEATURE_NAMES].values), D.Scaler().fit(train_df[[D.TARGET]].values)
     X, y = D.prepare_sequences(train_df, lookback, fs, tscl)
@@ -219,7 +220,8 @@ def _plot_loss(history, client_id, path):
 def evaluate_on_test(params, cfg: Dict) -> Dict[str, float]:
     """Test-split metrics (the c_evalulate_rounds.py per-round evaluation)."""
     lookback = int(cfg.get("lookback", 72))
-    df = D.load_timeseries(cfg["data_file"])
+    df = D.load_timeseries(cfg["data_file"],
+                           dayfirst=bool(cfg.get("timestamp_dayfirst", True)))
     train_df, test_df = D.train_test_frames(df, cfg["train_end_date"], cfg["test_start_date"])
     fs = D.Scaler().fit(train_df[D.FEATURE_NAMES].values)
     tscl = D.Scaler().fit(train_df[[D.TARGET]].values)

@@ -156,3 +156,30 @@ def test_evaluate_rounds_family_dispatch(tmp_path):
     assert (mdf["test_MAE"] < 100).all()
     assert glob.glob(os.path.join(out_dir, "c1_round1_predictions_*.csv"))
     assert glob.glob(os.path.join(out_dir, "c1_round1_predictions_*.png"))
+
+
+def test_dayfirst_parse_modes():
+    """timestamp_dayfirst=False replicates the reference scripts'
+    month-first pandas parse (c_trainAndUpdate.py:96): on a day-first
+    hourly file, days 13+ coerce to NaT and days 1-12 scatter across
+    months — the basis of the committed reference metrics
+    (docs/PARITY.md, VERDICT r4 missing #3)."""
+    import tempfile
+
+    import pandas as pd
+
+    from ppqsflhe_tpu.train import data as D
+
+    ts = pd.date_range("2024-07-01", periods=20 * 24, freq="h")
+    csv = tempfile.mktemp(suffix=".csv")
+    pd.DataFrame({"Timestamp": ts.strftime("%d-%m-%Y %H:%M"),
+                  "Data": range(20 * 24)}).to_csv(csv, index=False)
+    good = D.load_timeseries(csv, dayfirst=True)
+    assert good["Timestamp"].isna().sum() == 0
+    assert (good["Month"] == 7).all()
+    bug = D.load_timeseries(csv, dayfirst=False)
+    assert bug["Timestamp"].isna().sum() == 8 * 24     # days 13..20 -> NaT
+    assert set(bug["Month"].dropna().unique()) == set(range(1, 13))
+    # NaT rows fall out of the date-split comparisons, like the reference
+    tr, te = D.train_test_frames(bug, "2024-07-24 23:00:00", "2024-07-25 00:00:00")
+    assert len(tr) + len(te) == 12 * 24
