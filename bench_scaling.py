@@ -37,6 +37,107 @@ LIMBS = 4
 REPS = int(os.environ.get("PPQSFLHE_SCALE_REPS", "10"))
 
 
+def _scrape_hlo(txt: str) -> dict:
+    """Per-collective op counts + payload bytes from optimized HLO text."""
+    import re
+
+    dtype_bytes = {"u64": 8, "s64": 8, "f64": 8, "u32": 4, "s32": 4,
+                   "f32": 4, "u8": 1, "s8": 1, "pred": 1}
+    out = {}
+    for op in ("all-to-all", "all-reduce", "all-gather",
+               "collective-permute"):
+        total = count = 0
+        for line in txt.splitlines():
+            if f" {op}(" not in line or "=" not in line:
+                continue
+            lhs = line.split(f" {op}(")[0].split("=", 1)[-1]
+            sz = 0
+            for m in re.finditer(r"(\w+)\[([\d,]*)\]", lhs):
+                s = dtype_bytes.get(m.group(1), 8)
+                for dim in filter(None, m.group(2).split(",")):
+                    s *= int(dim)
+                sz += s
+            total += sz
+            count += 1
+        out[op] = {"ops": count, "bytes": total}
+    return out
+
+
+def _round_collectives(n_dev: int) -> dict:
+    """Build the sharded server round at D=n_dev and scrape its compiled
+    HLO collective bytes (the falsifiable half of the scaling model)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ppqsflhe_tpu.ckks.params import CkksParams as _P
+    from ppqsflhe_tpu.parallel import sharded_scheme as ss
+    from ppqsflhe_tpu.parallel.mesh import make_mesh
+
+    n_r = 1 << 12
+    p_r = _P.generate(n=n_r, mult_depth=2, scale_bits=40, dnum=2,
+                      ntt_backend="fourstep")
+    rmesh = make_mesh({"client": 1, "coef": n_dev})
+    sctx = ss.ShardedEvalContext(p_r, rmesh)
+    l = p_r.num_q
+    B = 2 * n_dev
+    rng = np.random.default_rng(0)
+    qs = np.array(p_r.q_moduli, np.uint64)
+    stacks = rng.integers(0, 1 << 59, size=(2, B, 2, l, n_r),
+                          dtype=np.uint64) % qs[None, None, None, :, None]
+    nd_k = len(sctx.digit_groups)
+    LK = l + p_r.num_p
+    rk = rng.integers(0, 1 << 59, size=(2, nd_k, 2, LK, n_r),
+                      dtype=np.uint64) % np.array(
+        sctx.moduli_qp, np.uint64)[None, None, None, :, None]
+    out = ss.fedavg_round_sharded(sctx, jnp.asarray(stacks),
+                                  jnp.asarray(rk[0]), jnp.asarray(rk[1]),
+                                  float(p_r.scale))
+    import jax
+
+    jax.block_until_ready(out)
+    sm = ss.eval_matrix(jnp.asarray(stacks), sctx.n1, sctx.n2)
+    k1 = ss.eval_matrix(jnp.asarray(rk[0]), sctx.n1, sctx.n2)
+    k2 = ss.eval_matrix(jnp.asarray(rk[1]), sctx.n1, sctx.n2)
+    txt = "\n".join(
+        fn.lower(sm, k1, k2).compile().as_text()
+        for key, fn in sctx._jit_cache.items() if key[0] == "fedavg")
+    return _scrape_hlo(txt)
+
+
+def diff_model(n_dev: int) -> int:
+    """VERDICT r4 #9: re-scrape the D=n_dev sharded round's collective
+    bytes and fail loudly if they drift from the committed
+    SCALING_MODEL.json — keeps the falsifiable half of the >=70% scaling
+    claim honest as the sharded path evolves. Returns a shell exit code."""
+    with open(os.path.join(REPO, "SCALING_MODEL.json")) as f:
+        model = json.load(f)
+    want = model["collective_bytes_per_round"].get(str(n_dev))
+    if want is None:
+        print(f"[diff] SCALING_MODEL.json has no D={n_dev} entry",
+              file=sys.stderr)
+        return 2
+    got = _round_collectives(n_dev)
+    drift = []
+    for op, rec in want.items():
+        g = got.get(op, {"ops": -1, "bytes": -1})
+        if g["ops"] != rec["ops"] or g["bytes"] != rec["bytes"]:
+            drift.append(
+                "%s: model ops=%s bytes=%s vs measured ops=%s bytes=%s"
+                % (op, rec["ops"], rec["bytes"], g["ops"], g["bytes"]))
+    if drift:
+        print("[diff] COLLECTIVE MODEL DRIFT at D=%d - the sharded path's "
+              "communication volume no longer matches SCALING_MODEL.json; "
+              "re-run bench_scaling.py to regenerate it (and re-derive the "
+              "ICI efficiency claim in docs/PERF.md):" % n_dev,
+              file=sys.stderr)
+        for d in drift:
+            print("  " + d, file=sys.stderr)
+        return 1
+    print(json.dumps({"metric": "collective_model_diff", "devices": n_dev,
+                      "drift": 0, "collectives": got}))
+    return 0
+
+
 def run_one(n_dev: int) -> None:
     import numpy as np
     import jax
@@ -163,25 +264,7 @@ def run_one(n_dev: int) -> None:
         txt = "\n".join(
             fn.lower(sm, k1, k2).compile().as_text()
             for key, fn in sctx._jit_cache.items() if key[0] == "fedavg")
-        dtype_bytes = {"u64": 8, "s64": 8, "f64": 8, "u32": 4, "s32": 4,
-                       "f32": 4, "u8": 1, "s8": 1, "pred": 1}
-        for op in ("all-to-all", "all-reduce", "all-gather",
-                   "collective-permute"):
-            total = count = 0
-            for line in txt.splitlines():
-                # e.g. %all-to-all.12 = (u64[3,16,16]{...}, u64[...]) all-to-all(
-                if f" {op}(" not in line or "=" not in line:
-                    continue
-                lhs = line.split(f" {op}(")[0].split("=", 1)[-1]
-                sz = 0
-                for m in re.finditer(r"(\w+)\[([\d,]*)\]", lhs):
-                    s = dtype_bytes.get(m.group(1), 8)
-                    for dim in filter(None, m.group(2).split(",")):
-                        s *= int(dim)
-                    sz += s
-                total += sz
-                count += 1
-            coll_bytes[op] = {"ops": count, "bytes": total}
+        coll_bytes = _scrape_hlo(txt)
     except Exception as e:  # pragma: no cover - accounting is best-effort
         coll_bytes = {"error": str(e)[:120]}
 
@@ -197,6 +280,17 @@ def main() -> None:
     if "--one" in sys.argv:
         run_one(int(sys.argv[sys.argv.index("--one") + 1]))
         return
+    if "--diff-one" in sys.argv:
+        raise SystemExit(diff_model(int(sys.argv[sys.argv.index("--diff-one") + 1])))
+    if "--diff" in sys.argv:
+        d = int(sys.argv[sys.argv.index("--diff") + 1]) \
+            if len(sys.argv) > sys.argv.index("--diff") + 1 else 8
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                              + f" --xla_force_host_platform_device_count={d}").strip())
+        r = subprocess.run([sys.executable, __file__, "--diff-one", str(d)],
+                           env=env)
+        raise SystemExit(r.returncode)
 
     results = {}
     for d in DEVS:

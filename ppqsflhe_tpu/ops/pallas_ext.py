@@ -32,6 +32,36 @@ from . import u32pair as up
 
 _LANES = 128
 
+def _vma(*xs):
+    """Union of the inputs' varying-manual-axes — pallas_call out_shapes
+    inside a shard_map must declare how outputs vary over mesh axes
+    (check_vma); outside shard_map this is frozenset() and harmless."""
+    import jax as _jax
+
+    out = frozenset()
+    for x in xs:
+        out = out | getattr(_jax.typeof(x), "vma", frozenset())
+    return out
+
+
+
+def _align_vma(xs):
+    """pvary every input up to the union of varying manual axes — a
+    pallas_call's operands must agree on vma inside a shard_map (constant
+    tables are unvarying until explicitly pvaried)."""
+    import jax as _jax
+
+    union = frozenset()
+    for x in xs:
+        union = union | getattr(_jax.typeof(x), "vma", frozenset())
+    if not union:
+        return list(xs)
+    out = []
+    for x in xs:
+        need = union - getattr(_jax.typeof(x), "vma", frozenset())
+        out.append(_jax.lax.pvary(x, tuple(need)) if need else x)
+    return out
+
 
 def _pair(v: int):
     # NUMPY scalars: jnp constants captured by a pallas kernel closure are
@@ -54,7 +84,7 @@ def _shoup_wide64(alo, ahi, wlo, whi, wslo, wshi, qlo, qhi):
 
 @functools.lru_cache(maxsize=64)
 def _build(src: tuple, dst: tuple, pre: tuple | None, nr: int,
-           interpret: bool):
+           interpret: bool, lanes: int = _LANES):
     """Kernel fn for a (src basis, dst basis, folded pre-constants) combo."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -127,9 +157,9 @@ def _build(src: tuple, dst: tuple, pre: tuple | None, nr: int,
             olo_ref[0, j], ohi_ref[0, j] = up.modsub64(*acc, *corr, ql, qh)
 
     Z = np.int32(0)
-    xspec = pl.BlockSpec((1, ls, nr, _LANES), lambda b: (b, Z, Z, Z),
+    xspec = pl.BlockSpec((1, ls, nr, lanes), lambda b: (b, Z, Z, Z),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, ld, nr, _LANES), lambda b: (b, Z, Z, Z),
+    ospec = pl.BlockSpec((1, ld, nr, lanes), lambda b: (b, Z, Z, Z),
                          memory_space=pltpu.VMEM)
 
     def run(xlo, xhi):
@@ -140,11 +170,13 @@ def _build(src: tuple, dst: tuple, pre: tuple | None, nr: int,
             in_specs=[xspec, xspec],
             out_specs=(ospec, ospec),
             out_shape=(
-                jax.ShapeDtypeStruct((Bf, ld, nr, _LANES), jnp.uint32),
-                jax.ShapeDtypeStruct((Bf, ld, nr, _LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((Bf, ld, nr, lanes), jnp.uint32,
+                                     vma=_vma(xlo, xhi)),
+                jax.ShapeDtypeStruct((Bf, ld, nr, lanes), jnp.uint32,
+                                     vma=_vma(xlo, xhi)),
             ),
             interpret=interpret,
-        )(xlo, xhi)
+        )(*_align_vma([xlo, xhi]))
 
     return run
 
@@ -157,14 +189,18 @@ def fused_extend(x64, extender, pre=None, interpret: bool = False):
     lead = x64.shape[:-2]
     ls, N = x64.shape[-2:]
     assert ls == len(extender.src)
-    nr = N // _LANES
+    # lane-width fallback for small per-shard polys (interpret-mode tests)
+    lanes = _LANES
+    while N % lanes:
+        lanes //= 2
+    nr = N // lanes
     Bf = int(np.prod(lead)) if lead else 1
-    x = x64.reshape((Bf, ls, nr, _LANES))
+    x = x64.reshape((Bf, ls, nr, lanes))
     xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     xhi = (x >> jnp.uint64(32)).astype(jnp.uint32)
     run = _build(tuple(extender.src), tuple(extender.dst),
                  tuple(int(v) for v in pre) if pre is not None else None,
-                 nr, interpret)
+                 nr, interpret, lanes)
     olo, ohi = run(xlo, xhi)
     out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
     return out.reshape(lead + (len(extender.dst), N))

@@ -27,6 +27,36 @@ from . import u32pair as up
 
 _LANES = 128
 
+def _vma(*xs):
+    """Union of the inputs' varying-manual-axes — pallas_call out_shapes
+    inside a shard_map must declare how outputs vary over mesh axes
+    (check_vma); outside shard_map this is frozenset() and harmless."""
+    import jax as _jax
+
+    out = frozenset()
+    for x in xs:
+        out = out | getattr(_jax.typeof(x), "vma", frozenset())
+    return out
+
+
+
+def _align_vma(xs):
+    """pvary every input up to the union of varying manual axes — a
+    pallas_call's operands must agree on vma inside a shard_map (constant
+    tables are unvarying until explicitly pvaried)."""
+    import jax as _jax
+
+    union = frozenset()
+    for x in xs:
+        union = union | getattr(_jax.typeof(x), "vma", frozenset())
+    if not union:
+        return list(xs)
+    out = []
+    for x in xs:
+        need = union - getattr(_jax.typeof(x), "vma", frozenset())
+        out.append(_jax.lax.pvary(x, tuple(need)) if need else x)
+    return out
+
 
 def ks_inner_product(digits, ksk_mont, q_pairs, qinv_pairs,
                      interpret: bool = False):
@@ -40,8 +70,12 @@ def ks_inner_product(digits, ksk_mont, q_pairs, qinv_pairs,
 
     lead = digits.shape[:-3]
     nd, LK, N = digits.shape[-3:]
-    assert N % _LANES == 0
-    nr = N // _LANES
+    # lane-width fallback for small local polys (coefficient-sharded tiny
+    # test rings run this kernel per shard with N/D < 128 in interpret mode)
+    lanes = _LANES
+    while N % lanes:
+        lanes //= 2
+    nr = N // lanes
     Bf = int(np.prod(lead)) if lead else 1
 
     def pairs(x, shape):
@@ -49,8 +83,8 @@ def ks_inner_product(digits, ksk_mont, q_pairs, qinv_pairs,
         return ((x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
                 (x >> jnp.uint64(32)).astype(jnp.uint32))
 
-    dlo, dhi = pairs(digits, (Bf, nd, LK, nr, _LANES))
-    klo, khi = pairs(ksk_mont, (nd, 2, LK, nr, _LANES))
+    dlo, dhi = pairs(digits, (Bf, nd, LK, nr, lanes))
+    klo, khi = pairs(ksk_mont, (nd, 2, LK, nr, lanes))
     qlo = q_pairs[:, 0].reshape(LK, 1, 1)
     qhi = q_pairs[:, 1].reshape(LK, 1, 1)
     ilo = qinv_pairs[:, 0].reshape(LK, 1, 1)
@@ -77,13 +111,13 @@ def ks_inner_product(digits, ksk_mont, q_pairs, qinv_pairs,
             olo_ref[0, c, 0] = alo
             ohi_ref[0, c, 0] = ahi
 
-    dspec = pl.BlockSpec((1, nd, 1, nr, _LANES), lambda b, l: (b, Z, l, Z, Z),
+    dspec = pl.BlockSpec((1, nd, 1, nr, lanes), lambda b, l: (b, Z, l, Z, Z),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((nd, 2, 1, nr, _LANES), lambda b, l: (Z, Z, l, Z, Z),
+    kspec = pl.BlockSpec((nd, 2, 1, nr, lanes), lambda b, l: (Z, Z, l, Z, Z),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((1, 1, 1), lambda b, l: (l, Z, Z),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 2, 1, nr, _LANES), lambda b, l: (b, Z, l, Z, Z),
+    ospec = pl.BlockSpec((1, 2, 1, nr, lanes), lambda b, l: (b, Z, l, Z, Z),
                          memory_space=pltpu.VMEM)
 
     olo, ohi = pl.pallas_call(
@@ -92,10 +126,12 @@ def ks_inner_product(digits, ksk_mont, q_pairs, qinv_pairs,
         in_specs=[dspec, dspec, kspec, kspec] + [cspec] * 4,
         out_specs=(ospec, ospec),
         out_shape=(
-            jax.ShapeDtypeStruct((Bf, 2, LK, nr, _LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((Bf, 2, LK, nr, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((Bf, 2, LK, nr, lanes), jnp.uint32,
+                                 vma=_vma(dlo, dhi, klo, khi)),
+            jax.ShapeDtypeStruct((Bf, 2, LK, nr, lanes), jnp.uint32,
+                                 vma=_vma(dlo, dhi, klo, khi)),
         ),
         interpret=interpret,
-    )(dlo, dhi, klo, khi, qlo, qhi, ilo, ihi)
+    )(*_align_vma([dlo, dhi, klo, khi, qlo, qhi, ilo, ihi]))
     out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
     return out.reshape(lead + (2, LK, N))

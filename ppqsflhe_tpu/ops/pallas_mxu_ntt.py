@@ -32,6 +32,36 @@ from . import mxu_ntt as M
 from . import u32pair as up
 
 
+def _vma(*xs):
+    """Union of the inputs' varying-manual-axes — pallas_call out_shapes
+    inside a shard_map must declare how outputs vary over mesh axes
+    (check_vma); outside shard_map this is frozenset() and harmless."""
+    import jax as _jax
+
+    out = frozenset()
+    for x in xs:
+        out = out | getattr(_jax.typeof(x), "vma", frozenset())
+    return out
+
+
+def _align_vma(xs):
+    """pvary every input up to the union of varying manual axes — a
+    pallas_call's operands must agree on vma inside a shard_map (constant
+    tables are unvarying until explicitly pvaried)."""
+    import jax as _jax
+
+    union = frozenset()
+    for x in xs:
+        union = union | getattr(_jax.typeof(x), "vma", frozenset())
+    if not union:
+        return list(xs)
+    out = []
+    for x in xs:
+        need = union - getattr(_jax.typeof(x), "vma", frozenset())
+        out.append(_jax.lax.pvary(x, tuple(need)) if need else x)
+    return out
+
+
 def _pad_tables(tabs: "M.MxuNttTables", nd_max: int):
     """Pad a limb's int8 matrices to the uniform nd_max layout:
     (nd·m, nd·m) with plane-major rows and digit-major contraction."""
@@ -112,10 +142,28 @@ def _kernel_recompose(planes_i32, m: int, nd: int, split: int,
 
 
 class PallasMxuNtt:
-    """Fused-kernel runner over a modulus chain (uniform padded layout)."""
+    """Fused-kernel runner over a modulus chain (uniform padded layout).
+
+    Per-digit-count groups route INDEPENDENTLY (r5, VERDICT r4 #2): a
+    group whose stage matrices + tables fit the scoped-VMEM budget runs
+    the fully-fused single kernel; an over-budget group (the nd=9 60-bit
+    limb at N >= 2^15: ~17 MB scoped vs the 16 MB default) streams
+    through the two-kernel PallasMxuNttBig pair instead. One runner
+    serves every ring size — the N <= 2^14 behavior is unchanged (all
+    groups fit) and larger rings get fused kernels for every limb that
+    fits. Budget override: PPQSFLHE_FUSED_VMEM_KIB (pair it with XLA's
+    --xla_tpu_scoped_vmem_limit_kib to actually raise the hardware-side
+    scope)."""
 
     def __init__(self, n: int, moduli, psis):
+        import os
+
         self.n = n
+        self._vmem_budget = 1024 * int(
+            os.environ.get("PPQSFLHE_FUSED_VMEM_KIB", "13312"))
+        self._big = None                    # lazy streamed-pair delegate
+        self._moduli = [int(q) for q in moduli]
+        self._psis = [int(p) for p in psis]
         self.tabs = [M.MxuNttTables.build(n, int(q), int(p))
                      for q, p in zip(moduli, psis)]
         self.n1, self.n2 = self.tabs[0].n1, self.tabs[0].n2
@@ -180,6 +228,16 @@ class PallasMxuNtt:
             idxs = [sel[k] for k in ks]
             order.extend(ks)
             ksel = np.asarray(ks, np.int32)
+            if not self._group_fits(nd):
+                # over-budget group streams through the two-kernel pair
+                if self._big is None:
+                    self._big = PallasMxuNttBig(self.n, self._moduli,
+                                                self._psis)
+                x_g = jnp.take(x, ksel, axis=1)
+                parts.append(self._big._run(x_g, forward, idx=idxs,
+                                            interpret=interpret)
+                             .reshape(B, len(ks), *shape_out))
+                continue
             parts.append(self._run_group(
                 jnp.take(xlo, ksel, axis=1), jnp.take(xhi, ksel, axis=1),
                 idxs, nd, forward, shape_in, shape_out, interpret))
@@ -187,6 +245,17 @@ class PallasMxuNtt:
         inv = np.argsort(np.asarray(order))
         out = jnp.take(out, jnp.asarray(inv, jnp.int32), axis=1)
         return out.reshape(lead + (L, self.n))
+
+    def _group_fits(self, nd: int) -> bool:
+        """Scoped-VMEM estimate for one fused grid cell: both padded stage
+        matrices + the twiddle quad + in/out u32 pairs, ×2 for Mosaic's
+        pipeline double-buffering. Anchors: N=2^14 nd=9 ≈ 6.3 MB (fits,
+        runs today); N=2^15 nd=9 ≈ 17 MB (Mosaic rejects at the 16 MB
+        default — docs/PERF.md:253)."""
+        mats = (nd * self.n1) ** 2 + (nd * self.n2) ** 2
+        tables = 4 * self.n * 4                       # lazy-Shoup quad, u32
+        xbuf = 4 * self.n * 4                         # lo/hi in + out
+        return 2 * (mats + tables + xbuf) <= self._vmem_budget
 
     def _run_group(self, xlo, xhi, idxs, nd, forward, shape_in, shape_out,
                    interpret):
@@ -260,11 +329,14 @@ class PallasMxuNtt:
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=(
-                jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32),
-                jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32),
+                jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32,
+                                     vma=_vma(xlo, xhi)),
+                jax.ShapeDtypeStruct((B, L, *shape_out), jnp.uint32,
+                                     vma=_vma(xlo, xhi)),
             ),
             interpret=interpret,
-        )(xlo, xhi, *mats, *tquad, qlo_a, qhi_a, q2lo_a, q2hi_a, qinv_a)
+        )(*_align_vma([xlo, xhi, *mats, *tquad, qlo_a, qhi_a, q2lo_a,
+                       q2hi_a, qinv_a]))
         return olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
 
     def ntt(self, x64, idx=None, interpret: bool = False):
@@ -332,13 +404,16 @@ class PallasMxuNttBig:
 
     def _stage_a(self, xlo, xhi, mats, tquad, consts, m_dim, nd, interpret):
         """grid (L, B, cols/blk): stage-1 dot + REDC + lazy twiddle.
-        x: (B, L, m_dim, cols) u32 pairs → same-shape output, < 2q."""
+        x: (B, L, m_dim, cols) u32 pairs → same-shape output, < 2q.
+        Also the per-shard first half of the SHARDED fused transform
+        (parallel/sharded_scheme._ntt_pallas): cols is then the shard's
+        local column count and the caller passes shard-sliced twiddles."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         B, L = xlo.shape[0], xlo.shape[1]
         cols = xlo.shape[3]
-        blk, split = self.blk, self.split
+        blk, split = min(self.blk, cols), self.split
         Z = np.int32(0)
 
         def kernel(xlo_ref, xhi_ref, a_ref, tlo_ref, thi_ref, tslo_ref,
@@ -372,21 +447,26 @@ class PallasMxuNttBig:
             in_specs=[xspec, xspec, mspec] + [tspec] * 4 + [cspec] * 3,
             out_specs=(xspec, xspec),
             out_shape=(
-                jax.ShapeDtypeStruct(xlo.shape, jnp.uint32),
-                jax.ShapeDtypeStruct(xhi.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(xlo.shape, jnp.uint32,
+                                     vma=_vma(xlo, xhi, *tquad)),
+                jax.ShapeDtypeStruct(xhi.shape, jnp.uint32,
+                                     vma=_vma(xlo, xhi, *tquad)),
             ),
             interpret=interpret,
-        )(xlo, xhi, mats, *tquad, *consts)
+        )(*_align_vma([xlo, xhi, mats, *tquad, *consts]))
 
     def _stage_b(self, tlo, thi, mats, consts, m_out, nd, interpret):
         """grid (L, B, rows/blk): VMEM transpose + stage-2 dot + REDC +
-        strict csub. t: (B, L, rows, m_out) pairs → (B, L, m_out, rows)."""
+        strict csub. t: (B, L, rows, m_out) pairs → (B, L, m_out, rows).
+        Sharded use: after the all_to_all the local layout is exactly
+        (rows = m_in/D, m_out) — the kernel's in-VMEM transpose replaces
+        the XLA swapaxes, so this is also the per-shard second half."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         B, L = tlo.shape[0], tlo.shape[1]
         rows = tlo.shape[2]
-        blk, split = self.blk, self.split
+        blk, split = min(self.blk, rows), self.split
         Z = np.int32(0)
 
         def kernel(tlo_ref, thi_ref, a_ref, qlo_ref, qhi_ref, q2lo_ref,
@@ -421,11 +501,13 @@ class PallasMxuNttBig:
             in_specs=[inspec, inspec, mspec] + [cspec] * 5,
             out_specs=(outspec, outspec),
             out_shape=(
-                jax.ShapeDtypeStruct((B, L, m_out, rows), jnp.uint32),
-                jax.ShapeDtypeStruct((B, L, m_out, rows), jnp.uint32),
+                jax.ShapeDtypeStruct((B, L, m_out, rows), jnp.uint32,
+                                     vma=_vma(tlo, thi)),
+                jax.ShapeDtypeStruct((B, L, m_out, rows), jnp.uint32,
+                                     vma=_vma(tlo, thi)),
             ),
             interpret=interpret,
-        )(tlo, thi, mats, *consts)
+        )(*_align_vma([tlo, thi, mats, *consts]))
 
     def _group_mats(self, name, idxs):
         """Stacked group matrices, cached as NUMPY (device constants created

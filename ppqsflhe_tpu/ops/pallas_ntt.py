@@ -54,18 +54,17 @@ class FourStepNtt:
 
     def pallas_mxu(self):
         """Lazily-built fused Pallas MXU-NTT runner (ops/pallas_mxu_ntt.py).
-        For N ≤ 2^14 both stage matrices + working set fit the 16 MB
-        scoped VMEM and the fully fused single kernel runs; above that
-        (measured: N=2^15 with the nd=9 group needs 17.06 MB) the
-        streamed two-kernel variant (PallasMxuNttBig) holds one stage
-        matrix per kernel and streams (ct, column-block) grids past it. Raises ValueError for
-        chains without the uniform redc/4 plan — callers fall back to
-        implementation='mxu'."""
+        Per-digit-count groups route independently (r5): a group whose
+        stage matrices + working set fit the scoped-VMEM budget runs the
+        fully fused single kernel; over-budget groups (the nd=9 60-bit
+        limb at N >= 2^15 — measured 17.06 MB vs the 16 MB default scope)
+        stream through the two-kernel PallasMxuNttBig pair. Raises
+        ValueError for chains without the uniform redc/4 plan — callers
+        fall back to implementation='mxu'."""
         if self._pmxu is None:
-            from .pallas_mxu_ntt import PallasMxuNtt, PallasMxuNttBig
+            from .pallas_mxu_ntt import PallasMxuNtt
 
-            cls = PallasMxuNtt if self.n <= (1 << 14) else PallasMxuNttBig
-            self._pmxu = cls(self.n, self.moduli, self._psis)
+            self._pmxu = PallasMxuNtt(self.n, self.moduli, self._psis)
         return self._pmxu
 
     def mxu_tables(self, i: int):

@@ -228,3 +228,41 @@ def test_pallas_mxu_big_bitexact_interpret():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
     got2 = big.ntt(x[:, :2], idx=(0, 1), interpret=True)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want[:, :2]))
+
+
+def test_pallas_mxu_group_routing_bitexact(monkeypatch):
+    """Per-group fused/streamed routing (r5, VERDICT r4 #2): with a tiny
+    VMEM budget the nd=9 (60-bit) group streams through the two-kernel
+    pair while the nd=6 group stays fused — outputs bit-exact vs xla and
+    vs the all-fused runner."""
+    import jax.numpy as jnp
+
+    from ppqsflhe_tpu.core import primes
+    from ppqsflhe_tpu.ops import pallas_mxu_ntt as PMX
+    from ppqsflhe_tpu.ops.pallas_ntt import FourStepNtt
+
+    n = 256
+    moduli = ([primes.first_prime_down(60, 2 * n)]
+              + primes.prime_chain(40, 2, 2 * n))
+    psis = [primes.root_of_unity(2 * n, q) for q in moduli]
+    fs = FourStepNtt(n, moduli, psis)
+    pm = PMX.PallasMxuNtt(n, moduli, psis)
+    # budget sized so ONLY the 40-bit (smaller-nd) group fits
+    fits = sorted(set(pm._nd_of))
+    assert len(fits) == 2, pm._nd_of
+    lo_nd, hi_nd = fits
+    mats = lambda nd: 2 * ((nd * pm.n1) ** 2 + (nd * pm.n2) ** 2 + 8 * n * 4)
+    pm._vmem_budget = (mats(lo_nd) + mats(hi_nd)) // 2
+    assert pm._group_fits(lo_nd) and not pm._group_fits(hi_nd)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.stack([
+        np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
+        for _ in range(2)
+    ]))
+    want = fs.ntt(x, implementation="xla")
+    got = pm.ntt(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert pm._big is not None            # the streamed delegate engaged
+    back = pm.intt(got, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
