@@ -264,7 +264,10 @@ def main() -> None:
 
     # longer spread + more reps: the tunnel adds ±10% per-call jitter, so
     # a 20-round marginal with best-of-5 tightens the band (r4)
-    r_lo, r_hi = 2, 22
+    # large-R anchors (r5 methodology, docs/PERF.md): both calls must be
+    # compute-dominated — the ~25-33 ms tunnel floor is bimodal, so a
+    # small-R anchor rides the floor and the marginal undercounts
+    r_lo, r_hi = 20, 60
     t_lo, t_hi = timed(r_lo, reps=5), timed(r_hi, reps=5)
     ms = float((t_hi - t_lo) / (r_hi - r_lo) * 1e3)
     print(f"[bench] call(R={r_lo})={t_lo*1e3:.1f} ms, call(R={r_hi})="

@@ -169,7 +169,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
-    r_lo, r_hi = 2, 22
+    # large-R anchors (r5 methodology, docs/PERF.md): both calls must be
+    # compute-dominated — the ~25-33 ms tunnel floor is bimodal, so a
+    # small-R anchor rides the floor and the marginal undercounts
+    r_lo, r_hi = 20, 60
     t_lo, t_hi = timed(r_lo), timed(r_hi)
     ms = float((t_hi - t_lo) / (r_hi - r_lo) * 1e3)
     print(f"[bench_sharded] call(R={r_lo})={t_lo*1e3:.1f} ms, "

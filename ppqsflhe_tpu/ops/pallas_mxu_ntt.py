@@ -160,7 +160,7 @@ class PallasMxuNtt:
 
         self.n = n
         self._vmem_budget = 1024 * int(
-            os.environ.get("PPQSFLHE_FUSED_VMEM_KIB", "13312"))
+            os.environ.get("PPQSFLHE_FUSED_VMEM_KIB", "11264"))
         self._big = None                    # lazy streamed-pair delegate
         self._moduli = [int(q) for q in moduli]
         self._psis = [int(p) for p in psis]
@@ -249,9 +249,13 @@ class PallasMxuNtt:
     def _group_fits(self, nd: int) -> bool:
         """Scoped-VMEM estimate for one fused grid cell: both padded stage
         matrices + the twiddle quad + in/out u32 pairs, ×2 for Mosaic's
-        pipeline double-buffering. Anchors: N=2^14 nd=9 ≈ 6.3 MB (fits,
-        runs today); N=2^15 nd=9 ≈ 17 MB (Mosaic rejects at the 16 MB
-        default — docs/PERF.md:253)."""
+        pipeline double-buffering. The estimate undercounts Mosaic's true
+        scoped allocation by ~1.24× (measured: nd=6 at N=2^16 estimates
+        13.63 MB, Mosaic reports 16.88 MB), so the default budget is
+        11 MiB against the hardware's 16 MB scope. Anchors: N=2^14 nd=9
+        ≈ 6.3 MB est (fits, runs); N=2^15 nd=9 ≈ 15.4 MB est / 17.06 MB
+        true (rejected). Raise PPQSFLHE_FUSED_VMEM_KIB together with
+        XLA's --xla_tpu_scoped_vmem_limit_kib to fuse bigger groups."""
         mats = (nd * self.n1) ** 2 + (nd * self.n2) ** 2
         tables = 4 * self.n * 4                       # lazy-Shoup quad, u32
         xbuf = 4 * self.n * 4                         # lo/hi in + out
@@ -367,7 +371,11 @@ class PallasMxuNttBig:
     stay bit-exact across every backend.
     """
 
-    def __init__(self, n: int, moduli, psis, blk: int = 128):
+    def __init__(self, n: int, moduli, psis, blk: int | None = None):
+        import os
+
+        if blk is None:
+            blk = int(os.environ.get("PPQSFLHE_BIG_BLK", "128"))
         self.n = n
         self.tabs = [M.MxuNttTables.build(n, int(q), int(p))
                      for q, p in zip(moduli, psis)]
