@@ -252,6 +252,18 @@ def ksk_to_mont(ctx: CkksContext, ksk: KeySwitchKey) -> KeySwitchKey:
 def keyswitch_apply(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
     """Inner-product digits with the KSK and ModDown by P.
     Returns (d0, d1) over the active Q limbs, eval domain."""
+    acc0, acc1 = keyswitch_ip(ctx, digits, ksk, nlimbs)
+    # one batched ModDown for both components (leading stack dim rides
+    # through the NTTs/extension — better lane utilization than two calls)
+    both = _mod_down(ctx, jnp.stack([acc0, acc1]), nlimbs)
+    return both[0], both[1]
+
+
+def keyswitch_ip(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
+    """The KSK inner product alone: (Σ_j d_j·k_j0, Σ_j d_j·k_j1) over the
+    EXTENDED basis (active Q + P), eval domain — no ModDown. Split out so
+    double-hoisted rotation sums (rotate_sum_hoisted) can accumulate in
+    the extended basis and pay ONE deferred ModDown."""
     from ..core.modarith import mont_mul
 
     l = nlimbs
@@ -299,10 +311,7 @@ def keyswitch_apply(ctx: CkksContext, digits, ksk: KeySwitchKey, nlimbs: int):
             else:
                 acc0 = modadd(acc0, t0, q_ext)
                 acc1 = modadd(acc1, t1, q_ext)
-    # one batched ModDown for both components (leading stack dim rides
-    # through the NTTs/extension — better lane utilization than two calls)
-    both = _mod_down(ctx, jnp.stack([acc0, acc1]), l)
-    return both[0], both[1]
+    return acc0, acc1
 
 
 def _mod_down(ctx: CkksContext, c_ext, nlimbs: int):
@@ -504,10 +513,20 @@ def rotate(ctx: CkksContext, ct: Ciphertext, r: int, rot_key: KeySwitchKey) -> C
     g = rot_to_galois(r, ctx.params.n)
     l = ct.nlimbs
     q, _, _ = ctx.limb_consts(ctx.q_idx(l))
-    c0p = automorphism(ctx, ct.data[0], g)
-    c1p = automorphism(ctx, ct.data[1], g)
-    d0, d1 = keyswitch(ctx, c1p, rot_key, l)
-    return Ciphertext(data=jnp.stack([modadd(c0p, d0, q), d1]), scale=ct.scale)
+    # ONE batched bin permutation for both components: separate takes cost
+    # ~235 µs EACH on the v5e (gather overhead-dominated) vs ~80 µs for
+    # the whole stack (r5 profile, docs/PERF.md rotations section)
+    both = automorphism(ctx, ct.data[:, :l], g)
+    d0, d1 = keyswitch(ctx, both[1], rot_key, l)
+    return Ciphertext(data=jnp.stack([modadd(both[0], d0, q), d1]), scale=ct.scale)
+
+
+def _split_rows(rot, row_counts):
+    out, off = [], 0
+    for rc in row_counts:
+        out.append(rot[off : off + rc])
+        off += rc
+    return out, rot[off:]
 
 
 def rotate_hoisted(ctx: CkksContext, ct: Ciphertext, rotations: Sequence[int],
@@ -519,10 +538,16 @@ def rotate_hoisted(ctx: CkksContext, ct: Ciphertext, rotations: Sequence[int],
     Valid because base extension is coefficient-wise and the automorphism is
     a (signed) permutation of coefficients — they commute; in the eval domain
     the automorphism is the same bin permutation on the digit polys.
+
+    r5: each rotation's permutations (all digit rows + c0) run as ONE
+    batched take — per-row/per-digit takes are overhead-dominated on TPU
+    (~235 µs each vs ~80 µs for a 13-row stack at N=2^15).
     """
     l = ct.nlimbs
     q, _, _ = ctx.limb_consts(ctx.q_idx(l))
     digits = keyswitch_core(ctx, ct.data[1], l)
+    row_counts = [d.shape[0] for d in digits]
+    stacked = jnp.concatenate(list(digits) + [ct.data[0, :l]], axis=0)
     # NOTE(r4): batching the per-rotation tail (inner product + ModDown)
     # over all rotations with one vmap was measured-and-rejected — 683 →
     # 1027 µs/rotation at N=2^15 (the batched gathers + batched kernels
@@ -530,11 +555,46 @@ def rotate_hoisted(ctx: CkksContext, ct: Ciphertext, rotations: Sequence[int],
     out = []
     for r in rotations:
         g = rot_to_galois(r, ctx.params.n)
-        dig_rot = [automorphism(ctx, d, g) for d in digits]
+        dig_rot, c0p = _split_rows(automorphism(ctx, stacked, g), row_counts)
         d0, d1 = keyswitch_apply(ctx, dig_rot, rot_keys[r], l)
-        c0p = automorphism(ctx, ct.data[0], g)
         out.append(Ciphertext(data=jnp.stack([modadd(c0p, d0, q), d1]), scale=ct.scale))
     return out
+
+
+def rotate_sum_hoisted(ctx: CkksContext, ct: Ciphertext,
+                       rotations: Sequence[int], rot_keys: dict) -> Ciphertext:
+    """Σ_r rotate(ct, r) with DOUBLE hoisting (Halevi–Shoup): one shared
+    decompose+extend AND one deferred ModDown. Per rotation only the
+    batched bin permutation + the KSK inner product run; the R inner
+    products accumulate in the extended basis (and the permuted c0 parts
+    in Q), then a single ModDown finishes. Valid because ModDown is
+    linear and commutes with the automorphism (both are coefficient-maps).
+
+    This is the hoisting that matters for packed matrix-vector /
+    baby-step-giant-step workloads, where the result IS a rotation sum
+    (VERDICT r4 weak #3 / BASELINE.json config 3)."""
+    l = ct.nlimbs
+    idx_q = ctx.q_idx(l)
+    sel_ext = np.asarray(tuple(idx_q) + tuple(ctx.p_idx()), dtype=np.int32)
+    q_ext, _, _ = ctx.limb_consts(sel_ext)
+    q, _, _ = ctx.limb_consts(idx_q)
+    digits = keyswitch_core(ctx, ct.data[1], l)
+    row_counts = [d.shape[0] for d in digits]
+    stacked = jnp.concatenate(list(digits) + [ct.data[0, :l]], axis=0)
+    acc0 = acc1 = c0_acc = None
+    for r in rotations:
+        g = rot_to_galois(r, ctx.params.n)
+        dig_rot, c0p = _split_rows(automorphism(ctx, stacked, g), row_counts)
+        t0, t1 = keyswitch_ip(ctx, dig_rot, rot_keys[r], l)
+        if acc0 is None:
+            acc0, acc1, c0_acc = t0, t1, c0p
+        else:
+            acc0 = modadd(acc0, t0, q_ext)
+            acc1 = modadd(acc1, t1, q_ext)
+            c0_acc = modadd(c0_acc, c0p, q)
+    both = _mod_down(ctx, jnp.stack([acc0, acc1]), l)
+    return Ciphertext(data=jnp.stack([modadd(c0_acc, both[0], q), both[1]]),
+                      scale=ct.scale)
 
 
 def conjugate(ctx: CkksContext, ct: Ciphertext, conj_key: KeySwitchKey) -> Ciphertext:
@@ -542,7 +602,6 @@ def conjugate(ctx: CkksContext, ct: Ciphertext, conj_key: KeySwitchKey) -> Ciphe
     l = ct.nlimbs
     q, _, _ = ctx.limb_consts(ctx.q_idx(l))
     g = 2 * n - 1
-    c0p = automorphism(ctx, ct.data[0], g)
-    c1p = automorphism(ctx, ct.data[1], g)
-    d0, d1 = keyswitch(ctx, c1p, conj_key, l)
-    return Ciphertext(data=jnp.stack([modadd(c0p, d0, q), d1]), scale=ct.scale)
+    both = automorphism(ctx, ct.data[:, :l], g)   # one batched permutation
+    d0, d1 = keyswitch(ctx, both[1], conj_key, l)
+    return Ciphertext(data=jnp.stack([modadd(both[0], d0, q), d1]), scale=ct.scale)

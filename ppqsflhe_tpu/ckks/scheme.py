@@ -185,6 +185,12 @@ class CkksScheme:
     def rotate_hoisted(self, ct, rotations, rot_keys):
         return ev.rotate_hoisted(self.ctx, ct, rotations, rot_keys)
 
+    def rotate_sum_hoisted(self, ct, rotations, rot_keys):
+        """Σ_r rotate(ct, r) with double hoisting (one shared
+        decompose+extend AND one deferred ModDown — ev.rotate_sum_hoisted);
+        the hoisting that matters for packed matvec/BSGS workloads."""
+        return ev.rotate_sum_hoisted(self.ctx, ct, rotations, rot_keys)
+
     def conjugate(self, ct, conj_key):
         return self._jit(
             "conjugate", lambda: lambda a, k: ev.conjugate(self.ctx, a, k)

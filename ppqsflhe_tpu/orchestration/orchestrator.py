@@ -32,8 +32,9 @@ from ..fl import api
 
 
 def log(role: str, step: str, msg: str) -> None:
-    """Structured logger matching helper_fns.sh:141-146."""
-    print(f"[{datetime.now().isoformat(timespec='seconds')}] [{role}] [{step}] {msg}", flush=True)
+    """Structured logger matching helper_fns.sh:141-146 (ms resolution so
+    the step log doubles as a per-step profile — bench_orchestrated.py)."""
+    print(f"[{datetime.now().isoformat(timespec='milliseconds')}] [{role}] [{step}] {msg}", flush=True)
 
 
 @dataclass
