@@ -267,7 +267,10 @@ def _encrypt_batch(sch: CkksScheme, pk, vecs: Sequence[np.ndarray], rng) -> List
     keys = jax.random.split(rng, len(vecs))
     data = jax.jit(jax.vmap(enc_one))(pts_eval, keys)  # (B, 2, l, n)
     data = np.asarray(jax.device_get(data))
-    return [Ciphertext(jnp.asarray(d), scale=scale) for d in data]
+    # keep the cts HOST-resident: they feed straight into serialization —
+    # wrapping in jnp.asarray re-uploads the payload through the tunnel
+    # only for the pack step to fetch it back (measured ~3.4 s/step)
+    return [Ciphertext(d, scale=scale) for d in data]
 
 
 def _encrypt_batch_sk(sch: CkksScheme, sk, vecs: Sequence[np.ndarray], rng,
@@ -294,7 +297,10 @@ def _encrypt_batch_sk(sch: CkksScheme, sk, vecs: Sequence[np.ndarray], rng,
     keys = jax.random.split(rng, len(vecs))
     data = jax.jit(jax.vmap(enc_one))(pts_eval, a_stack, keys)
     data = np.asarray(jax.device_get(data))
-    return [Ciphertext(jnp.asarray(d), scale=scale) for d in data]
+    # keep the cts HOST-resident: they feed straight into serialization —
+    # wrapping in jnp.asarray re-uploads the payload through the tunnel
+    # only for the pack step to fetch it back (measured ~3.4 s/step)
+    return [Ciphertext(d, scale=scale) for d in data]
 
 
 def _encrypt_sk_with_a(ctx, sk, pt, rng_key, a):
@@ -469,10 +475,17 @@ def _load_all_cts(enc: Dict, sch: CkksScheme | None = None) -> tuple[list, list[
 
 
 def _store_all_cts(slots, cts: Sequence[Ciphertext],
-                   sch: CkksScheme | None = None, wire: str = "native") -> None:
+                   sch: CkksScheme | None = None, wire: str = "native",
+                   raw: bool = False) -> None:
+    """``raw=True`` (binary-container destinations) stores raw PQTC bytes —
+    skipping a Base64 encode that save_enc_doc would immediately decode."""
     for (entry, field, i), ct in zip(slots, cts):
-        b64 = _ct_to_wire(ct, sch, wire) if wire != "native" \
-            else ser.ciphertext_to_b64(ct)
+        if wire != "native":
+            b64 = _ct_to_wire(ct, sch, wire)
+        elif raw:
+            b64 = ser.ciphertext_to_bytes(ct)
+        else:
+            b64 = ser.ciphertext_to_b64(ct)
         if field == "values":
             entry["values"][i] = b64
         else:
@@ -537,10 +550,10 @@ def change_cipher_domain(cc_path: str, rekey_path: str, enc_in: str, enc_out: st
             return sch.re_encrypt(Ciphertext(d, scale=scale), rekey).data
 
         out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(re_enc_one))(stack)))
-    new_cts = [Ciphertext(jnp.asarray(d), scale=scale) for d in out_data]
-    _store_all_cts(slots, new_cts, sch, wire)
-    ser.save_enc_doc(enc, enc_out,
-                     binary=ser.doc_is_binary(enc_in) and wire != "openfhe")
+    new_cts = [Ciphertext(d, scale=scale) for d in out_data]  # host-resident (see _encrypt_batch note)
+    binary = ser.doc_is_binary(enc_in) and wire != "openfhe"
+    _store_all_cts(slots, new_cts, sch, wire, raw=binary)
+    ser.save_enc_doc(enc, enc_out, binary=binary)
     return enc
 
 
@@ -858,7 +871,7 @@ def aggregate_encrypted_weights(cc_path: str, enc_paths: Sequence[str], agg_out:
 
     out_scale = scale * n_clients if free_div else scale
     out_data = np.asarray(jax.device_get(jax.jit(jax.vmap(agg_one))(big)))
-    agg_cts = [Ciphertext(jnp.asarray(d), scale=out_scale) for d in out_data]
+    agg_cts = [Ciphertext(d, scale=out_scale) for d in out_data]  # host-resident
 
     i = 0
     for rec, nv in layout:
