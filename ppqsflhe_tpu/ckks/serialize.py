@@ -438,5 +438,12 @@ def ciphertext_from_bytes_any(b: bytes, ctx: CkksContext | None = None) -> Ciphe
         return ciphertext_from_bytes(b, ctx)
     from .openfhe_emit import parse_ciphertext_binary
 
-    rec = parse_ciphertext_binary(b)
+    try:
+        rec = parse_ciphertext_binary(b)
+    except Exception as e:
+        # a corrupted/foreign blob otherwise surfaces as a bare
+        # AssertionError from deep inside the cereal parser
+        raise ValueError(
+            "bad ciphertext magic: not a PQTC blob and not parseable as "
+            f"OpenFHE cereal BINARY ({type(e).__name__})") from e
     return Ciphertext(data=jnp.asarray(rec["towers"]), scale=rec["scale"])

@@ -111,18 +111,22 @@ def ks_inner_product(digits, ksk_mont, q_pairs, qinv_pairs,
             olo_ref[0, c, 0] = alo
             ohi_ref[0, c, 0] = ahi
 
-    dspec = pl.BlockSpec((1, nd, 1, nr, lanes), lambda b, l: (b, Z, l, Z, Z),
+    # grid is (LK, Bf) with the batch axis fastest: the KSK block's index
+    # (l,) is then invariant across Bf consecutive steps, so Mosaic fetches
+    # each limb's nd·2·N·8 B key slice once per LIMB instead of once per
+    # (ct, limb) cell (same HBM-traffic argument as pallas_mxu_ntt's grid).
+    dspec = pl.BlockSpec((1, nd, 1, nr, lanes), lambda l, b: (b, Z, l, Z, Z),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((nd, 2, 1, nr, lanes), lambda b, l: (Z, Z, l, Z, Z),
+    kspec = pl.BlockSpec((nd, 2, 1, nr, lanes), lambda l, b: (Z, Z, l, Z, Z),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, 1, 1), lambda b, l: (l, Z, Z),
+    cspec = pl.BlockSpec((1, 1, 1), lambda l, b: (l, Z, Z),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 2, 1, nr, lanes), lambda b, l: (b, Z, l, Z, Z),
+    ospec = pl.BlockSpec((1, 2, 1, nr, lanes), lambda l, b: (b, Z, l, Z, Z),
                          memory_space=pltpu.VMEM)
 
     olo, ohi = pl.pallas_call(
         kernel,
-        grid=(Bf, LK),
+        grid=(LK, Bf),
         in_specs=[dspec, dspec, kspec, kspec] + [cspec] * 4,
         out_specs=(ospec, ospec),
         out_shape=(

@@ -314,10 +314,18 @@ class PallasMxuNtt:
             ohi_ref[0, 0] = hi
 
         def bspec(shape, has_batch):
+            # grid is (L, B) with the CT axis fastest: the matrix/table
+            # block index (l,) is then invariant across B consecutive
+            # steps, so Mosaic fetches each stage matrix once per LIMB
+            # instead of once per (ct, limb) cell. Cuts the kernel's HBM
+            # read traffic ~B× (the ~1.2-2.7 MB matrix pair dominated it);
+            # isolated marginal 3.10 -> 3.00 us/limb at N=2^14 (the DMA
+            # was mostly overlapped), but the freed bandwidth also stops
+            # the kernel starving neighbours in composed graphs.
             if has_batch:
-                return pl.BlockSpec((1, 1) + shape, lambda b, l: (b, l, Z, Z),
+                return pl.BlockSpec((1, 1) + shape, lambda l, b: (b, l, Z, Z),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((1,) + shape, lambda b, l: (l, Z, Z),
+            return pl.BlockSpec((1,) + shape, lambda l, b: (l, Z, Z),
                                 memory_space=pltpu.VMEM)
 
         in_specs = [
@@ -329,7 +337,7 @@ class PallasMxuNtt:
 
         olo, ohi = pl.pallas_call(
             kernel,
-            grid=(B, L),
+            grid=(L, B),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=(

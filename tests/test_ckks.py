@@ -465,3 +465,16 @@ def test_seeded_rotation_key_serialization():
     with pytest.raises(ValueError):
         ev.keyswitch_key_gen(sch.ctx, s_rot, jax.random.PRNGKey(4),
                              pk_to=pk, a_seed=seed)
+
+
+def test_corrupt_ciphertext_blob_clear_error():
+    """A corrupted/foreign blob raises ValueError('bad ciphertext magic...')
+    from BOTH entry points — not a bare AssertionError from deep inside the
+    OpenFHE cereal parser (found by the r5 verify probe)."""
+    from ppqsflhe_tpu.ckks import serialize as ser
+
+    blob = b"XXXX" + bytes(64)
+    with pytest.raises(ValueError, match="bad ciphertext magic"):
+        ser.ciphertext_from_bytes(b"PQTX" + bytes(64))
+    with pytest.raises(ValueError, match="bad ciphertext magic"):
+        ser.ciphertext_from_bytes_any(blob)
