@@ -159,8 +159,14 @@ class PallasMxuNtt:
         import os
 
         self.n = n
+        # default budget: the 16 MB hardware scope over the measured ~1.24×
+        # est→true factor (≈12.9 MB). Every Shoup-quad group this accepts
+        # was already accepted at the old conservative 11 MiB; the only
+        # config it newly admits is the 2-table mont-twiddle nd=6 group at
+        # N=2^16 (est 12.59 MB → true ~15.6 MB, verified compiling on-chip
+        # at the default scope — docs/PERF.md).
         self._vmem_budget = 1024 * int(
-            os.environ.get("PPQSFLHE_FUSED_VMEM_KIB", "11264"))
+            os.environ.get("PPQSFLHE_FUSED_VMEM_KIB", "12896"))
         self._big = None                    # lazy streamed-pair delegate
         self._moduli = [int(q) for q in moduli]
         self._psis = [int(p) for p in psis]
@@ -194,6 +200,33 @@ class PallasMxuNtt:
             np.array([[np.uint32(t.plan.qinv_r & 0xFFFFFFFF)]], np.uint32)
             if t.plan.mode == "redc" else np.array([[0]], np.uint32)
             for t in self.tabs])
+        # full 64-bit -q^{-1} mod 2^64 (Montgomery constant for the 2-table
+        # mont-twiddle kernel variant); scalar (1,1) pairs like _q
+        qinv64 = [(-pow(q, -1, 1 << 64)) % (1 << 64) for q in self._moduli]
+        self._qinv64 = (
+            np.stack([np.array([[v & 0xFFFFFFFF]], np.uint32) for v in qinv64]),
+            np.stack([np.array([[v >> 32]], np.uint32) for v in qinv64]))
+        self._tmont_cache = {}
+
+    def _mont_twiddle(self, idxs, forward):
+        """(lo, hi) u32 tables of w·2^64 mod q for the group's limbs —
+        mont_mul64_lazy(a, w·2^64 mod q) == a·w mod q (lazy), so the fused
+        kernel needs HALF the twiddle bytes of the Shoup quad. Cached as
+        numpy per (limbs, direction)."""
+        key = (tuple(idxs), forward)
+        m = self._tmont_cache.get(key)
+        if m is None:
+            quad = self._t1 if forward else self._t1i
+            los, his = [], []
+            for i in idxs:
+                w = quad[0][i].astype(object) | (
+                    quad[1][i].astype(object) << 32)
+                q = self._moduli[i]
+                wm = (w << 64) % q           # elementwise python-int mod
+                los.append((wm & 0xFFFFFFFF).astype(np.uint32))
+                his.append((wm >> 32).astype(np.uint32))
+            m = self._tmont_cache[key] = (np.stack(los), np.stack(his))
+        return m
 
     def _group_mats(self, name, idxs):
         """Stacked group matrices, cached as NUMPY (device constants created
@@ -228,7 +261,12 @@ class PallasMxuNtt:
             idxs = [sel[k] for k in ks]
             order.extend(ks)
             ksel = np.asarray(ks, np.int32)
-            if not self._group_fits(nd):
+            fits_shoup = self._group_fits(nd, 4)
+            # 2-table mont-twiddle variant: ~n·8 B/limb less VMEM — fits
+            # groups the 4-table Shoup quad pushes over budget (the nd=6
+            # group at N=2^16) at ~3 extra u32 mults per coefficient
+            fits_mont = fits_shoup or self._group_fits(nd, 2)
+            if not fits_mont:
                 # over-budget group streams through the two-kernel pair
                 if self._big is None:
                     self._big = PallasMxuNttBig(self.n, self._moduli,
@@ -240,29 +278,32 @@ class PallasMxuNtt:
                 continue
             parts.append(self._run_group(
                 jnp.take(xlo, ksel, axis=1), jnp.take(xhi, ksel, axis=1),
-                idxs, nd, forward, shape_in, shape_out, interpret))
+                idxs, nd, forward, shape_in, shape_out, interpret,
+                mont=not fits_shoup))
         out = jnp.concatenate(parts, axis=1)
         inv = np.argsort(np.asarray(order))
         out = jnp.take(out, jnp.asarray(inv, jnp.int32), axis=1)
         return out.reshape(lead + (L, self.n))
 
-    def _group_fits(self, nd: int) -> bool:
+    def _group_fits(self, nd: int, twiddle_planes: int = 4) -> bool:
         """Scoped-VMEM estimate for one fused grid cell: both padded stage
-        matrices + the twiddle quad + in/out u32 pairs, ×2 for Mosaic's
+        matrices + the twiddle tables + in/out u32 pairs, ×2 for Mosaic's
         pipeline double-buffering. The estimate undercounts Mosaic's true
         scoped allocation by ~1.24× (measured: nd=6 at N=2^16 estimates
         13.63 MB, Mosaic reports 16.88 MB), so the default budget is
         11 MiB against the hardware's 16 MB scope. Anchors: N=2^14 nd=9
         ≈ 6.3 MB est (fits, runs); N=2^15 nd=9 ≈ 15.4 MB est / 17.06 MB
-        true (rejected). Raise PPQSFLHE_FUSED_VMEM_KIB together with
-        XLA's --xla_tpu_scoped_vmem_limit_kib to fuse bigger groups."""
+        true (rejected). ``twiddle_planes``: 4 for the Shoup-lazy quad,
+        2 for the Montgomery-form tables. Raise PPQSFLHE_FUSED_VMEM_KIB
+        together with XLA's --xla_tpu_scoped_vmem_limit_kib to fuse
+        bigger groups."""
         mats = (nd * self.n1) ** 2 + (nd * self.n2) ** 2
-        tables = 4 * self.n * 4                       # lazy-Shoup quad, u32
+        tables = twiddle_planes * self.n * 4          # twiddle tables, u32
         xbuf = 4 * self.n * 4                         # lo/hi in + out
         return 2 * (mats + tables + xbuf) <= self._vmem_budget
 
     def _run_group(self, xlo, xhi, idxs, nd, forward, shape_in, shape_out,
-                   interpret):
+                   interpret, mont: bool = False):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -271,19 +312,25 @@ class PallasMxuNtt:
         iarr = np.asarray(idxs)
         m_a = ("a1", "a2") if forward else ("a2i", "a1i")
         mats = [self._group_mats(k, idxs) for k in m_a]
-        tquad = [jnp.asarray(a[iarr]) for a in (self._t1 if forward else self._t1i)]
+        if mont:
+            tw = [jnp.asarray(a) for a in self._mont_twiddle(idxs, forward)]
+        else:
+            tw = [jnp.asarray(a[iarr])
+                  for a in (self._t1 if forward else self._t1i)]
         qlo_a, qhi_a = (jnp.asarray(a[iarr]) for a in self._q)
         q2lo_a, q2hi_a = (jnp.asarray(a[iarr]) for a in self._q2)
         qinv_a = jnp.asarray(self._qinv[iarr])
+        i64lo_a, i64hi_a = (jnp.asarray(a[iarr]) for a in self._qinv64)
 
         Z = np.int32(0)
         m1_dim = shape_in[0]            # first-stage transform size
         m2_dim = shape_out[0]           # second-stage transform size
 
         def kernel(xlo_ref, xhi_ref, a_first_ref, a_second_ref,
-                   tlo_ref, thi_ref, tslo_ref, tshi_ref,
-                   qlo_ref, qhi_ref, q2lo_ref, q2hi_ref, qinv_ref,
-                   olo_ref, ohi_ref):
+                   *rest):
+            tw_refs = rest[: len(tw)]
+            (qlo_ref, qhi_ref, q2lo_ref, q2hi_ref, qinv_ref,
+             i64lo_ref, i64hi_ref, olo_ref, ohi_ref) = rest[len(tw):]
             qlo = qlo_ref[0, 0, 0]
             qhi = qhi_ref[0, 0, 0]
             q2lo = q2lo_ref[0, 0, 0]
@@ -296,10 +343,15 @@ class PallasMxuNtt:
             p1 = jnp.dot(a_first_ref[0], d1,
                          preferred_element_type=jnp.int32)     # (nd·m1, c)
             lo, hi = _kernel_recompose(p1, m1_dim, nd, split, qinv, qlo, qhi)
-            # twiddle (lazy shoup: inputs < 4q, output < 2q)
-            lo, hi = up.shoup_mul64_lazy(
-                lo, hi, tlo_ref[0], thi_ref[0], tslo_ref[0], tshi_ref[0],
-                qlo, qhi)
+            # twiddle: inputs < 4q, output < 2q either way
+            if mont:
+                lo, hi = up.mont_mul64_lazy(
+                    lo, hi, tw_refs[0][0], tw_refs[1][0], qlo, qhi,
+                    i64lo_ref[0, 0, 0], i64hi_ref[0, 0, 0])
+            else:
+                lo, hi = up.shoup_mul64_lazy(
+                    lo, hi, tw_refs[0][0], tw_refs[1][0], tw_refs[2][0],
+                    tw_refs[3][0], qlo, qhi)
             # transpose to stage-2 layout
             lo = lo.T
             hi = hi.T
@@ -331,8 +383,8 @@ class PallasMxuNtt:
         in_specs = [
             bspec(shape_in, True), bspec(shape_in, True),
             bspec(mats[0].shape[1:], False), bspec(mats[1].shape[1:], False),
-        ] + [bspec(tquad[0].shape[1:], False)] * 4 + [
-            bspec((1, 1), False)] * 5
+        ] + [bspec(tw[0].shape[1:], False)] * len(tw) + [
+            bspec((1, 1), False)] * 7
         out_specs = (bspec(shape_out, True), bspec(shape_out, True))
 
         olo, ohi = pl.pallas_call(
@@ -347,8 +399,8 @@ class PallasMxuNtt:
                                      vma=_vma(xlo, xhi)),
             ),
             interpret=interpret,
-        )(*_align_vma([xlo, xhi, *mats, *tquad, qlo_a, qhi_a, q2lo_a,
-                       q2hi_a, qinv_a]))
+        )(*_align_vma([xlo, xhi, *mats, *tw, qlo_a, qhi_a, q2lo_a,
+                       q2hi_a, qinv_a, i64lo_a, i64hi_a]))
         return olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
 
     def ntt(self, x64, idx=None, interpret: bool = False):

@@ -162,6 +162,22 @@ def modsub64(alo, ahi, blo, bhi, qlo, qhi):
     return sub64(slo, shi, blo, bhi)
 
 
+def mont_mul64_lazy(alo, ahi, blo, bhi, qlo, qhi, qinvlo, qinvhi):
+    """Montgomery product a·b·2^{-64} mod q WITHOUT the final conditional
+    subtract — result in [0, 2q). Valid for a < 4q, b < q, q < 2^62
+    (u = (t + m·q)/2^64 < 4q²/2^64 + q < 2q). With b stored as
+    w·2^64 mod q this computes a·w mod q lazily — the 2-table twin of
+    shoup_mul64_lazy (which needs 4 tables: w and its Shoup constant)."""
+    w0, w1, w2, w3 = mul64_wide(alo, ahi, blo, bhi)
+    mlo, mhi = mullo64(w0, w1, qinvlo, qinvhi)
+    mq2, mq3 = mulhi64(mlo, mhi, qlo, qhi)
+    carry = ((w0 | w1) != 0).astype(U32)
+    ulo, uhi = add64(w2, w3, mq2, mq3)
+    ulo2 = ulo + carry
+    uhi2 = uhi + (ulo2 < ulo).astype(U32)
+    return ulo2, uhi2
+
+
 def mont_mul64(alo, ahi, blo, bhi, qlo, qhi, qinvlo, qinvhi):
     """Montgomery product a·b·2^{-64} mod q on u32 pairs (qinv = -q^{-1} mod 2^64)."""
     w0, w1, w2, w3 = mul64_wide(alo, ahi, blo, bhi)

@@ -266,3 +266,36 @@ def test_pallas_mxu_group_routing_bitexact(monkeypatch):
     assert pm._big is not None            # the streamed delegate engaged
     back = pm.intt(got, interpret=True)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_pallas_mxu_mont_twiddle_bitexact(monkeypatch):
+    """The 2-table Montgomery-twiddle fused variant (late r5: fits the
+    nd=6 group at N=2^16 into the default VMEM scope) is bit-exact vs the
+    4-table Shoup-quad kernel and the xla path, forward and inverse."""
+    import jax.numpy as jnp
+
+    from ppqsflhe_tpu.core import primes
+    from ppqsflhe_tpu.ops import pallas_mxu_ntt as PMX
+    from ppqsflhe_tpu.ops.pallas_ntt import FourStepNtt
+
+    n = 256
+    moduli = ([primes.first_prime_down(60, 2 * n)]
+              + primes.prime_chain(40, 2, 2 * n))
+    psis = [primes.root_of_unity(2 * n, q) for q in moduli]
+    fs = FourStepNtt(n, moduli, psis)
+    pm = PMX.PallasMxuNtt(n, moduli, psis)
+    # force EVERY group onto the mont path: shoup never fits, mont always
+    monkeypatch.setattr(
+        PMX.PallasMxuNtt, "_group_fits",
+        lambda self, nd, twiddle_planes=4: twiddle_planes == 2)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.stack([
+        np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
+        for _ in range(2)
+    ]))
+    want = fs.ntt(x, implementation="xla")
+    got = pm.ntt(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    back = pm.intt(got, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
